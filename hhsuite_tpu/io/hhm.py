@@ -1,0 +1,322 @@
+"""HHM profile file format, byte-compatible with the reference.
+
+Writer mirrors HMM::WriteToFile (src/hhhmm.cpp:2173-2299), reader mirrors
+HMM::Read (src/hhhmm.cpp:202-690).  Values are fixed-point
+``-round(log2(p) * 1000)`` with '*' for zero probability (HMMSCALE=1000,
+src/hhdecl.h:39).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import List, Optional, TextIO
+
+import numpy as np
+
+from .. import fastmath as fm
+from ..constants import D2D, HMMSCALE, NAA, NTRANS, S2A
+from ..core.hmm import HMM
+
+
+def _iround(x: float) -> int:
+    return int(math.floor(x + 0.5))
+
+
+def _sout(v: int) -> str:
+    return "*\t" if v >= 99999 else f"{v}\t"
+
+
+def write_hhm(q: HMM, pb: np.ndarray, max_seqid=90, coverage=0, qid=0,
+              Ndiff=100, qsc=-20.0, argv: Optional[List[str]] = None,
+              datestr: Optional[str] = None) -> str:
+    """Render an HHM file (hhhmm.cpp:2173-2299)."""
+    if q.trans_lin == 1:
+        raise RuntimeError("cannot write HMM with linear transitions")
+    out = []
+    out.append("HHsearch 1.5")
+    out.append(f"NAME  {q.longname}")
+    out.append(f"FAM   {q.fam}")
+    out.append("COM   " + "".join(
+        (a if len(a) <= 100 else f"<{len(a)} characters>") + " "
+        for a in (argv or [])))
+    out.append("DATE  " + (datestr or time.ctime()))
+    out.append(f"LENG  {q.L} match states, {int(q.l[q.L])} columns in multiple alignment")
+    out.append("")
+    out.append(f"FILT  {q.N_filtered} out of {q.N_in} sequences passed filter"
+               f" (-id {max_seqid} -cov {coverage} -qid {qid} -qsc {qsc:g}"
+               f" -diff {Ndiff})")
+    out.append("NEFF  %-4.1f" % q.Neff_HMM)
+    if q.has_pseudocounts:
+        out.append("PCT   true")
+    out.append("SEQ")
+    for nidx in range(q.n_display):
+        out.append(">" + q.sname[nidx])
+        s = q.seq[nidx][1:]
+        for j in range(0, len(s), 100):
+            out.append(s[j:j + 100])
+    out.append("#")
+
+    out.append("NULL   " + "".join(
+        _sout(-_iround(float(fm.fast_log2(np.float32(pb[S2A[a]])))
+                       * HMMSCALE)) for a in range(20)))
+
+    out.append("HMM    " + "".join(
+        "ACDEFGHIKLMNPQRSTVWY"[a] + "\t" for a in range(20)))
+    out.append("       M->M\tM->I\tM->D\tI->M\tI->I\tD->M\tD->D\tNeff\tNeff_I\tNeff_D")
+
+    line = "       "
+    for a in range(D2D + 1):
+        line += _sout(-_iround(float(q.tr[0, a]) * HMMSCALE))
+    line += _sout(_iround(float(q.Neff_M[0]) * HMMSCALE))
+    line += _sout(_iround(float(q.Neff_I[0]) * HMMSCALE))
+    line += _sout(_iround(float(q.Neff_D[0]) * HMMSCALE))
+    out.append(line)
+
+    seqf = q.seq[q.nfirst] if q.nfirst >= 0 else "-" * (q.L + 1)
+    h = 1
+    for i in range(1, q.L + 1):
+        while h < len(seqf) and seqf[h].islower():
+            h += 1
+        c = seqf[h] if h < len(seqf) else "-"
+        h += 1
+        line = "%1s %-4i " % (c, i)
+        for a in range(20):
+            line += _sout(-_iround(float(fm.fast_log2(
+                np.float32(q.p[i, S2A[a]]))) * HMMSCALE))
+        line += "%-i" % int(q.l[i])
+        out.append(line)
+        line = "       "
+        for a in range(D2D + 1):
+            line += _sout(-_iround(float(q.tr[i, a]) * HMMSCALE))
+        line += _sout(_iround(float(q.Neff_M[i]) * HMMSCALE))
+        line += _sout(_iround(float(q.Neff_I[i]) * HMMSCALE))
+        line += _sout(_iround(float(q.Neff_D[i]) * HMMSCALE))
+        out.append(line)
+        out.append("")
+    out.append("//")
+    return "\n".join(out) + "\n"
+
+
+def write_hhm_file(q: HMM, path: str, pb: np.ndarray, **kw):
+    text = write_hhm(q, pb, **kw)
+    with open(path, "w") as f:
+        f.write(text)
+
+
+# ---------------------------------------------------------------------------
+
+def _strinta(tokens, idx):
+    """Next integer or '*' (=-99999) from token list (hhutil strinta)."""
+    if idx >= len(tokens):
+        return None, idx
+    t = tokens[idx]
+    if t == "*":
+        return -99999, idx + 1
+    return int(t), idx + 1
+
+
+def read_hhm(text: str, pb_out: Optional[np.ndarray] = None,
+             nseqdis: int = 10238, maxres: int = 20001) -> HMM:
+    """Parse an HHM file (hhhmm.cpp:202-690)."""
+    from ..core.alignment import _SS2I, _SA2I, _CF2I, ss2ss
+
+    q = HMM()
+    lines = text.splitlines()
+    li = 0
+    L = 0
+    cols_f = None
+    cols_tr = None
+    neffs = None
+    lcol = None
+
+    def getline():
+        nonlocal li
+        if li >= len(lines):
+            return None
+        s = lines[li]
+        li += 1
+        return s
+
+    pb_local = None
+    while True:
+        line = getline()
+        if line is None or line.startswith("//"):
+            break
+        if not line.strip():
+            continue
+        if line.startswith("HH"):
+            continue
+        key4 = line[:4].strip()
+        if key4 == "NAME":
+            rest = line[4:].strip()
+            q.longname = rest if rest else "undefined"
+            q.name = (rest.split() or ["undefined"])[0]
+        elif line.startswith("FAM"):
+            q.fam = line[3:].strip()
+        elif key4 == "FILE":
+            q.file = line[4:].strip()
+        elif key4 == "LENG":
+            nums = [int(t) for t in line[4:].replace(",", " ").split()
+                    if t.lstrip("-").isdigit()]
+            L = nums[0]
+        elif key4 in ("FILT", "NSEQ"):
+            nums = [int(t) for t in line[4:].replace("(", " ").split()
+                    if t.lstrip("-").isdigit()]
+            if len(nums) >= 2:
+                q.N_filtered, q.N_in = nums[0], nums[1]
+            elif nums:
+                q.N_filtered = q.N_in = nums[0]
+        elif key4 == "NEFF" or line.startswith("NAA"):
+            try:
+                q.Neff_HMM = float(line[6:].split()[0])
+            except (ValueError, IndexError):
+                pass
+        elif line.startswith("EVD"):
+            t = line[6:].split()
+            q.lamda, q.mu = float(t[0]), float(t[1])
+        elif line.startswith("PCT"):
+            q.has_pseudocounts = True
+        elif key4 in ("DESC", "COM", "DATE") or line.startswith("COM") \
+                or line.startswith("DATE"):
+            continue
+        elif line.startswith("SEQ"):
+            names, seqs = [], []
+            cur: List[str] = []
+            specials = {}
+            while True:
+                line = getline()
+                if line is None or line.startswith("#"):
+                    break
+                if line.startswith(">"):
+                    if cur or names:
+                        seqs.append("-" + "".join(cur))
+                        cur = []
+                    hdr = line[1:]
+                    k = len(names)
+                    if hdr.startswith("ss_dssp"):
+                        q.nss_dssp = k
+                    elif hdr.startswith("sa_dssp"):
+                        q.nsa_dssp = k
+                    elif hdr.startswith("ss_pred"):
+                        q.nss_pred = k
+                    elif hdr.startswith("ss_conf"):
+                        q.nss_conf = k
+                    elif hdr.startswith("Cons-") or hdr.startswith("Consensus"):
+                        q.ncons = k
+                    elif q.nfirst == -1:
+                        q.nfirst = k
+                    names.append(hdr.split()[0] if hdr.split() else hdr)
+                else:
+                    k = len(names) - 1
+                    if k == q.nss_dssp:
+                        cur.extend(ss2ss(c) for c in line
+                                   if 0 <= _SS2I[ord(c) & 0xFF] <= 7
+                                   and c != ".")
+                    elif k == q.nsa_dssp:
+                        cur.extend(c for c in line
+                                   if _SA2I[ord(c) & 0xFF] >= 0)
+                    elif k == q.nss_pred:
+                        cur.extend(ss2ss(c) for c in line
+                                   if 0 <= _SS2I[ord(c) & 0xFF] <= 3
+                                   and c != ".")
+                    elif k == q.nss_conf:
+                        cur.extend(c for c in line
+                                   if c == "-" or c.isdigit())
+                    else:
+                        from ..core.alignment import AA2I_TABLE
+                        cur.extend(c for c in line
+                                   if AA2I_TABLE[ord(c) & 0xFF] >= 0
+                                   and c != ".")
+            if names:
+                seqs.append("-" + "".join(cur))
+            q.sname = names
+            q.seq = seqs
+            q.n_seqs = len(names)
+            q.n_display = len(names)
+        elif line.startswith("NULL"):
+            t = line[4:].split()
+            pb_local = np.zeros(NAA, dtype=np.float32)
+            for a in range(20):
+                v = -99999 if t[a] == "*" else int(t[a])
+                pb_local[S2A[a]] = fm.fpow2(np.float32(-v / HMMSCALE))
+            if pb_out is not None:
+                pb_out[:] = pb_local
+        elif line.startswith("HMM"):
+            getline()  # transition header line
+            line = getline()
+            t = line.split()
+            q.alloc(L)
+            idx = 0
+            for a in range(NTRANS):
+                v, idx = _strinta(t, idx)
+                q.tr[0, a] = np.float32(-v) / HMMSCALE
+            v, idx = _strinta(t, idx)
+            q.Neff_M[0] = np.float32(v) / HMMSCALE
+            v, idx = _strinta(t, idx)
+            q.Neff_I[0] = np.float32(v) / HMMSCALE
+            v, idx = _strinta(t, idx)
+            q.Neff_D[0] = np.float32(v) / HMMSCALE
+            i = 0
+            while True:
+                line = getline()
+                if line is None or line.startswith("//") \
+                        or line.startswith("#"):
+                    break
+                if not line.strip():
+                    continue
+                t = line.split()
+                i += 1
+                if i > L or i > maxres - 2:
+                    getline()
+                    continue
+                # t = [res, i, 20 values..., l]
+                vals = t[2:22]
+                for a in range(20):
+                    v = -99999 if vals[a] == "*" else int(vals[a])
+                    q.f[i, S2A[a]] = fm.fpow2(np.float32(-v) / HMMSCALE)
+                q.l[i] = int(t[22]) if len(t) > 22 else i
+                line = getline()
+                t = line.split()
+                idx = 0
+                for a in range(NTRANS):
+                    v, idx = _strinta(t, idx)
+                    q.tr[i, a] = np.float32(-v) / HMMSCALE
+                v, idx = _strinta(t, idx)
+                q.Neff_M[i] = np.float32(v) / HMMSCALE
+                if q.Neff_M[i] == 0:
+                    q.Neff_M[i] = 1
+                v, idx = _strinta(t, idx)
+                q.Neff_I[i] = np.float32(v) / HMMSCALE
+                v, idx = _strinta(t, idx)
+                q.Neff_D[i] = np.float32(v) / HMMSCALE
+            break
+
+    q.L = min(L, maxres - 2) if L else 0
+    if pb_local is None:
+        from ..matrices import get_substitution_matrix
+        pb_local = get_substitution_matrix(0).pb
+    q.f[0] = pb_local
+    q.f[q.L + 1] = pb_local
+    q.Neff_M[q.L + 1] = 1.0
+    q.Neff_I[q.L + 1] = 0.0
+    q.Neff_D[q.L + 1] = 0.0
+
+    # extract SS state arrays from special display sequences
+    for attr, nidx, tab in [("ss_dssp", q.nss_dssp, _SS2I),
+                            ("sa_dssp", q.nsa_dssp, _SA2I),
+                            ("ss_pred", q.nss_pred, _SS2I),
+                            ("ss_conf", q.nss_conf, _CF2I)]:
+        if nidx >= 0 and nidx < len(q.seq):
+            s = q.seq[nidx][1:]
+            arr = getattr(q, attr)
+            codes = np.frombuffer(s.encode("latin-1"),
+                                  dtype=np.uint8).astype(np.int64)
+            m = min(len(codes), q.L)
+            arr[1:m + 1] = tab[codes[:m]]
+    return q
+
+
+def read_hhm_file(path: str, **kw) -> HMM:
+    with open(path) as f:
+        return read_hhm(f.read(), **kw)
