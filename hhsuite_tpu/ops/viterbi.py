@@ -1,0 +1,374 @@
+"""Batched 5-pair-state Viterbi HMM-HMM alignment (device kernel).
+
+Reimplements the recurrence of src/hhviterbialgorithm.cpp:45-497 in a
+TPU-native form:
+
+* the reference's SIMD lane axis (VECSIZE_FLOAT templates per instruction)
+  becomes a batch axis ``B`` over length-bucketed templates;
+* the match-score matrix ``Si = log2(dot20(q_i, t_j)) + shift`` is one MXU
+  einsum over all (i, j) instead of a per-cell 20-float dot
+  (src/hhviterbi.h:126-190);
+* the row-sequential cell loop becomes an anti-diagonal wavefront
+  ``lax.scan``: on diagonal d = i+j every state depends only on diagonals
+  d-1 / d-2, so each cell computes the *identical* float expression as the
+  reference's loop — no reassociation, bit-stable modulo the einsum's dot
+  reduction order.
+
+Outputs per lane: best score / end cell (i2, j2) (strictly-greater update =
+row-major tie-break, src/hhviterbialgorithm.cpp:423-455) and the packed
+backtrace byte matrix (bits 0-2: MM predecessor code, bit3/4/5/6: GD/IM/
+DG/MI opened from MM; src/hhviterbimatrix.h:29-85).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+FLT_MAX = float(np.finfo(np.float32).max)
+
+# transition column indices (constants.M2M etc. duplicated here to keep the
+# kernel importable without package context when jitted standalone)
+M2M, M2I, M2D, I2M, I2I, D2M, D2D = range(7)
+
+STOP, MM, GD, IM, DG, MI = 0, 2, 3, 4, 5, 6
+
+
+class ViterbiResult(NamedTuple):
+    score: "np.ndarray"   # (B,) f32 best score
+    i2: "np.ndarray"      # (B,) i of best cell
+    j2: "np.ndarray"      # (B,) j of best cell
+    bt: "np.ndarray"      # (B, Lq+1, Lt+1) uint8 backtrace codes
+
+
+def _log2f4(x):
+    import jax.numpy as jnp
+    from jax import lax
+    bits = lax.bitcast_convert_type(x, jnp.int32)
+    e = (((bits & 0x7F800000) >> 23) - 127).astype(jnp.float32)
+    m = lax.bitcast_convert_type((bits & 0x007FFFFF) | 0x3F800000,
+                                 jnp.float32)
+    p = jnp.float32(-0.107254423828329604454)
+    p = p * m + jnp.float32(0.688243882994381274313)
+    p = p * m + jnp.float32(-1.75647175389045657003)
+    p = p * m + jnp.float32(2.61761038894603480148)
+    return p * (m - 1.0) + e
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("local", "need_bt"))
+def viterbi_batch(qp, qtr, tp, ttr, cell_off, t_L,
+                  shift, smin_local, penalty_gap_query,
+                  penalty_gap_template, ss_score=None,
+                  local=True, need_bt=True):
+    """Align one query against a batch of templates.
+
+    Args:
+      qp:   (Lq+2, 20) f32 query odds profile (already divided by null)
+      qtr:  (Lq+2, 7)  f32 query log2 transitions
+      tp:   (B, Lt+2, 20) f32 template odds profiles (padded cols = 0)
+      ttr:  (B, Lt+2, 7)  f32 template transitions (padded cols = -FLT_MAX)
+      cell_off: (B, Lq+1, Lt+1) bool, True = forbidden cell
+      t_L:  (B,) int32 true template lengths
+      shift: score offset per aligned pair (par.shift)
+      ss_score: optional (B, Lq+1, Lt+1) f32 secondary-structure score to
+        add to the match score (already weighted by ssw)
+      local: Smith-Waterman vs global
+    Returns ViterbiResult.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    Lq = qp.shape[0] - 2
+    Lt = tp.shape[1] - 2
+    B = tp.shape[0]
+    f32 = jnp.float32
+    NEG = f32(-FLT_MAX)
+
+    # ---- match scores Si[b, i, j] for i,j in 1..L  (MXU) ----
+    dot = jnp.einsum("ia,bja->bij", qp[1:Lq + 1], tp[:, 1:Lt + 1],
+                     preferred_element_type=jnp.float32)
+    Si = _log2f4(dot) + f32(shift)
+    if ss_score is not None:
+        Si = Si + ss_score[:, 1:, 1:]
+    # pad to (B, Lq+1, Lt+1) with index 0 row/col unused
+    Si = jnp.pad(Si, ((0, 0), (1, 0), (1, 0)))
+
+    co_add = jnp.where(cell_off, NEG, f32(0.0))        # (B, Lq+1, Lt+1)
+
+    smin = f32(0.0) if local else NEG
+
+    # Wavefront over anti-diagonals d = i + j, cells indexed by i (1..Lq).
+    # state arrays: (B, Lq+1) value of state at (i, d - i).
+    #   prev1 = diagonal d-1, prev2 = diagonal d-2
+    Wi = Lq + 1
+
+    iidx = jnp.arange(Wi)                               # i = 0..Lq
+    # boundary: sMM(i, 0) = -i * penalty_gap_query, others -FLT_MAX
+    # boundary: sMM(0, j) = -j * penalty_gap_template
+    pq = f32(penalty_gap_query)
+    pt = f32(penalty_gap_template)
+
+    # q transitions gathered once (per i, broadcast over batch)
+    q_m2m = qtr[:, M2M]
+    q_m2d = qtr[:, M2D]
+    q_d2m = qtr[:, D2M]
+    q_i2m = qtr[:, I2M]
+    q_m2i = qtr[:, M2I]
+    q_i2i = qtr[:, I2I]
+    q_d2d = qtr[:, D2D]
+
+    def diag_gather(arr2d, d, off):
+        """arr2d (B, Lt+2); take arr2d[b, d - i + off] for i=0..Lq."""
+        j = d - iidx + off
+        j = jnp.clip(j, 0, Lt + 1)
+        return jnp.take_along_axis(arr2d, j[None, :], axis=1)
+
+    def cell_gather(arr3d, d, ioff, joff):
+        """arr3d (B, Lq+1, Lt+1); take arr3d[b, i+ioff, d-i+joff]."""
+        j = d - iidx + joff
+        valid = (j >= 0) & (j <= Lt)
+        j = jnp.clip(j, 0, Lt)
+        ii = jnp.clip(iidx + ioff, 0, Lq)
+        v = arr3d[:, ii, :]
+        v = jnp.take_along_axis(v, j[None, :, None].repeat(B, 0),
+                                axis=2)[:, :, 0]
+        return v, valid
+
+    def state0(d):
+        """Fresh state arrays for diagonal d holding boundary values."""
+        j = d - iidx
+        mm = jnp.where(iidx == 0, -j.astype(f32) * pt,
+                       jnp.where(j == 0, -iidx.astype(f32) * pq, NEG))
+        mm = jnp.where((j < 0) | (j > Lt), NEG, mm)
+        mm = jnp.broadcast_to(mm[None, :], (B, Wi))
+        neg = jnp.full((B, Wi), NEG)
+        return mm, neg, neg, neg, neg   # MM, DG, MI, GD, IM
+
+    def step(carry, d):
+        (mm1, dg1, mi1, gd1, im1), (mm2, dg2, mi2, gd2, im2), \
+            best, best_i, best_j = carry
+
+        j = d - iidx                        # (Wi,) template index per lane
+        on = (iidx >= 1) & (j >= 1) & (j <= Lt)
+
+        # gather transitions at j-1 / j
+        tm2m_1 = diag_gather(ttr[:, :, M2M], d, -1)
+        td2m_1 = diag_gather(ttr[:, :, D2M], d, -1)
+        ti2m_1 = diag_gather(ttr[:, :, I2M], d, -1)
+        tm2d_1 = diag_gather(ttr[:, :, M2D], d, -1)
+        td2d_1 = diag_gather(ttr[:, :, D2D], d, -1)
+        tm2i_0 = diag_gather(ttr[:, :, M2I], d, 0)
+        ti2i_0 = diag_gather(ttr[:, :, I2I], d, 0)
+
+        qm2m_1 = q_m2m[jnp.maximum(iidx - 1, 0)][None, :]
+        qd2m_1 = q_d2m[jnp.maximum(iidx - 1, 0)][None, :]
+        qi2m_1 = q_i2m[jnp.maximum(iidx - 1, 0)][None, :]
+        qm2d_1 = q_m2d[jnp.maximum(iidx - 1, 0)][None, :]
+        qd2d_1 = q_d2d[jnp.maximum(iidx - 1, 0)][None, :]
+        qm2i_0 = q_m2i[iidx][None, :]
+        qi2i_0 = q_i2i[iidx][None, :]
+
+        # shift helper: value at (i-1, j-1) lives at lane i-1 of diag d-2;
+        # (i-1, j) at lane i-1 of diag d-1; (i, j-1) at lane i of diag d-1.
+        def up(x):       # lane i -> lane i-1   (previous row)
+            return jnp.pad(x[:, :-1], ((0, 0), (1, 0)),
+                           constant_values=-FLT_MAX)
+
+        mm_diag = up(mm2)
+        gd_diag = up(gd2)
+        im_diag = up(im2)
+        dg_diag = up(dg2)
+        mi_diag = up(mi2)
+
+        # MM update (order + strict > exactly as the kernel)
+        c_mm = mm_diag + qm2m_1 + tm2m_1
+        best5 = jnp.maximum(smin, c_mm)
+        code = jnp.where(c_mm > smin, MM, STOP).astype(jnp.int32)
+        c_gd = gd_diag + qm2m_1 + td2m_1
+        code = jnp.where(c_gd > best5, GD, code)
+        best5 = jnp.maximum(best5, c_gd)
+        c_im = im_diag + qi2m_1 + tm2m_1
+        code = jnp.where(c_im > best5, IM, code)
+        best5 = jnp.maximum(best5, c_im)
+        c_dg = dg_diag + qd2m_1 + tm2m_1
+        code = jnp.where(c_dg > best5, DG, code)
+        best5 = jnp.maximum(best5, c_dg)
+        c_mi = mi_diag + qm2m_1 + ti2m_1
+        code = jnp.where(c_mi > best5, MI, code)
+        best5 = jnp.maximum(best5, c_mi)
+
+        si, _ = cell_gather(Si, d, 0, 0)
+        co, _ = cell_gather(co_add, d, 0, 0)
+        mm_new = best5 + si + co
+
+        # DG / MI from previous row (diag d-1, lane i-1)
+        mm_up = up(mm1)
+        dg_up = up(dg1)
+        mi_up = up(mi1)
+        a_dg = mm_up + qm2d_1
+        b_dg = dg_up + qd2d_1
+        bit_dg = a_dg > b_dg
+        dg_new = jnp.maximum(a_dg, b_dg) + co
+        a_mi = mm_up + qm2m_1 + tm2i_0
+        b_mi = mi_up + qm2m_1 + ti2i_0
+        bit_mi = a_mi > b_mi
+        mi_new = jnp.maximum(a_mi, b_mi) + co
+
+        # GD / IM from previous column (diag d-1, lane i)
+        a_gd = mm1 + tm2d_1
+        b_gd = gd1 + td2d_1
+        bit_gd = a_gd > b_gd
+        gd_new = jnp.maximum(a_gd, b_gd) + co
+        a_im = mm1 + qm2i_0 + tm2m_1
+        b_im = im1 + qi2i_0 + tm2m_1
+        bit_im = a_im > b_im
+        im_new = jnp.maximum(a_im, b_im) + co
+
+        # boundary values for cells outside the valid band of this diagonal
+        mm0, dg0, mi0, gd0, im0 = state0(d)
+        mm_new = jnp.where(on[None, :], mm_new, mm0)
+        dg_new = jnp.where(on[None, :], dg_new, dg0)
+        mi_new = jnp.where(on[None, :], mi_new, mi0)
+        gd_new = jnp.where(on[None, :], gd_new, gd0)
+        im_new = jnp.where(on[None, :], im_new, im0)
+
+        byte = (code
+                | jnp.where(bit_gd, 8, 0)
+                | jnp.where(bit_im, 16, 0)
+                | jnp.where(bit_dg, 32, 0)
+                | jnp.where(bit_mi, 64, 0)).astype(jnp.uint8)
+        byte = jnp.where(on[None, :], byte, jnp.uint8(0))
+
+        # ---- best-score tracking (row-major tie-break) ----
+        if local:
+            cand_on = on[None, :]
+        else:
+            cand_on = on[None, :] & ((j[None, :] == Lt)
+                                     | (iidx[None, :] == Lq))
+        cand = jnp.where(cand_on, mm_new, NEG)
+        # within a diagonal, i ascending = row-major; first max wins
+        k = jnp.argmax(cand, axis=1)
+        cand_s = jnp.take_along_axis(cand, k[:, None], axis=1)[:, 0]
+        cand_i = k.astype(jnp.int32)
+        cand_j = (d - k).astype(jnp.int32)
+        upd = (cand_s > best) | ((cand_s == best) & (cand_i < best_i))
+        best = jnp.where(upd, cand_s, best)
+        best_i = jnp.where(upd, cand_i, best_i)
+        best_j = jnp.where(upd, cand_j, best_j)
+
+        new_carry = ((mm_new, dg_new, mi_new, gd_new, im_new),
+                     (mm1, dg1, mi1, gd1, im1),
+                     best, best_i, best_j)
+        return new_carry, byte if need_bt else jnp.uint8(0)
+
+    init = (state0(1), state0(0),
+            jnp.full((B,), NEG), jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), jnp.int32))
+    ds = jnp.arange(2, Lq + Lt + 1)
+    carry, bytes_by_diag = lax.scan(step, init, ds)
+    _, _, best, best_i, best_j = carry
+
+    if need_bt:
+        # scatter diagonals back into (B, Lq+1, Lt+1)
+        # bytes_by_diag: (D, B, Wi) with D = Lq+Lt-1, lane i, j = d - i
+        D = Lq + Lt - 1
+        dvals = np.arange(2, Lq + Lt + 1)
+        bt = jnp.zeros((B, Lq + 1, Lt + 1), dtype=jnp.uint8)
+        jj = dvals[:, None] - np.arange(Wi)[None, :]        # (D, Wi)
+        valid = (jj >= 1) & (jj <= Lt) & (np.arange(Wi)[None, :] >= 1)
+        jj_c = np.clip(jj, 0, Lt)
+        ii = np.broadcast_to(np.arange(Wi)[None, :], jj.shape)
+        flat_idx = ii * (Lt + 1) + jj_c                     # (D, Wi)
+        vals = jnp.where(jnp.asarray(valid)[None, :, :],
+                         bytes_by_diag.transpose(1, 0, 2),
+                         jnp.uint8(0))                      # (B, D, Wi)
+        bt_flat = jnp.zeros((B, (Lq + 1) * (Lt + 1)), dtype=jnp.uint8)
+        fi = jnp.asarray(flat_idx.reshape(-1))
+        bt_flat = bt_flat.at[:, fi].max(vals.reshape(B, -1))
+        bt = bt_flat.reshape(B, Lq + 1, Lt + 1)
+    else:
+        bt = jnp.zeros((B, 1, 1), dtype=jnp.uint8)
+
+    return best, best_i, best_j, bt
+
+
+# ------------------------------------------------------------------ host ----
+
+def backtrace(bt: np.ndarray, start_i: int, start_j: int):
+    """Scalar backtrace over one lane's byte matrix
+    (src/hhviterbi.cpp:83-160).
+
+    Returns (i_steps, j_steps, states, matched_cols); step arrays are
+    1-based like the reference (index 0 unused), ordered end->start.
+    """
+    i, j = int(start_i), int(start_j)
+    i_steps = [0]
+    j_steps = [0]
+    states = [0]
+    state = MM
+    matched_cols = 0
+    while state != STOP:
+        states.append(state)
+        i_steps.append(i)
+        j_steps.append(j)
+        b = int(bt[i, j])
+        if state == MM:
+            matched_cols += 1
+            if i <= 1 or j <= 1:
+                state = STOP
+            else:
+                state = b & 0x07
+                i -= 1
+                j -= 1
+        elif state == GD:
+            if j <= 1:
+                state = STOP
+            else:
+                if b & 8:
+                    state = MM
+                j -= 1
+        elif state == IM:
+            if j <= 1:
+                state = STOP
+            else:
+                if b & 16:
+                    state = MM
+                j -= 1
+        elif state == DG:
+            if i <= 1:
+                state = STOP
+            else:
+                if b & 32:
+                    state = MM
+                i -= 1
+        elif state == MI:
+            if i <= 1:
+                state = STOP
+            else:
+                if b & 64:
+                    state = MM
+                i -= 1
+        else:
+            state = STOP
+    states[len(states) - 1] = MM  # first state set to MM (reference quirk)
+    return (np.array(i_steps, dtype=np.int32),
+            np.array(j_steps, dtype=np.int32),
+            np.array(states, dtype=np.int8),
+            matched_cols)
+
+
+def exclude_alignment_mask(cell_off: np.ndarray, i_steps, j_steps, Lq, Lt):
+    """Cross out cells around a previous alignment path
+    (src/hhviterbi.cpp:61-77, VITERBI_PATH_WIDTH=40)."""
+    W = 40
+    for step in range(1, len(i_steps)):
+        i = int(i_steps[step])
+        j = int(j_steps[step])
+        cell_off[max(i - W, 1): min(i + W, Lq) + 1, j] = True
+        cell_off[i, max(j - W, 1): min(j + W, Lt) + 1] = True
+    return cell_off
