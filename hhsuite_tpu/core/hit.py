@@ -1,0 +1,315 @@
+"""Hit records, EVD statistics and hit-list level score calibration.
+
+Parity targets: Hit (src/hhhit.h:30-196) including CalcEvalScoreProbab /
+CalcProbab (src/hhhit.h:136-195), the EVD neural-network regressions
+(src/hhhitlist-inl.h:27-105), P-value functions (src/hhhit-inl.h:38-58),
+HitList::CalculatePvalues (src/hhhitlist.cpp:499-531) and
+CalculateHHblitsEvalues (src/hhhitlist.cpp:463-494).
+
+The NN evaluations are vectorized over hits (a (H,4) @ (4,hidden) matmul),
+keeping double precision like the reference's double-based logistic.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from .. import fastmath as fm
+from ..constants import LAMDA_GLOB
+
+LOG1000 = math.log(1000.0)
+
+# --- EVD neural net weights (hhhitlist-inl.h:27-105) ---
+_LAMDA_BIAS = np.array([-0.73195, -1.43792, -1.18839, -3.01141])
+_LAMDA_W = np.array([
+    [-0.52356, -3.37650, 1.12984, -0.46796],
+    [-4.71361, 0.14166, 1.66807, 0.16383],
+    [-0.94895, -1.24358, -1.20293, 0.95434],
+    [-0.00318, 0.53022, -0.04914, -0.77046]])
+_LAMDA_V = np.array([2.45630, 3.02905, 2.53803, 2.64379])
+
+_MU_BIAS = np.array([-4.25264, -3.63484, -5.86653, -4.78472, -2.76356,
+                     -2.21580])
+_MU_W = np.array([
+    [1.96172, 1.07181, -7.41256, 0.26471],
+    [0.84643, 1.46777, -1.04800, -0.51425],
+    [1.42697, 1.99927, 0.64647, 0.27834],
+    [1.34216, 1.64064, 0.35538, -8.08311],
+    [2.30046, 1.31700, -0.46435, -0.46803],
+    [0.90090, -3.53067, 0.59212, 1.47503]])
+_MU_V = np.array([-1.26036, 1.52812, 1.58413, -1.90409, 0.92803, -0.66871])
+
+_ALPHA_BIAS = np.array([7.89636, 3.68944, 2.05448, 3.69149])
+_AB_W = np.array([
+    [-6.72336, -4.73393, -2.15446, -4.75140],
+    [-14.54957, 4.05462, 0.57951, 3.55780],
+    [2.08289, -1.81976, -1.19936, -17.35097],
+    [1.53268, -8.13514, -2.50677, 1.51106]])
+_ALPHA_V = np.array([6.37397, -0.36254, 0.16279, -1.32174])
+_ALPHA_OUT_BIAS = 1.33439
+_BETA_V = np.array([-2.27841, -7.79426, -9.53092, 3.65717])
+_BETA_OUT_BIAS = 5.43347
+
+
+def _nn(inputs, W, bias, V):
+    """inputs (H,4) -> (H,) sum of logistic hidden units times V."""
+    act = inputs @ W.T + bias[None, :]
+    hidden = 1.0 / (1.0 + np.exp(-act))
+    return hidden @ V
+
+
+def lamda_nn(Lqnorm, Ltnorm, Nqnorm, Ntnorm):
+    x = np.stack(np.broadcast_arrays(Lqnorm, Ltnorm, Nqnorm, Ntnorm),
+                 axis=-1).reshape(-1, 4)
+    return _nn(x, _LAMDA_W, _LAMDA_BIAS, _LAMDA_V)
+
+
+def mu_nn(Lqnorm, Ltnorm, Nqnorm, Ntnorm):
+    x = np.stack(np.broadcast_arrays(Lqnorm, Ltnorm, Nqnorm, Ntnorm),
+                 axis=-1).reshape(-1, 4)
+    return 20.0 * _nn(x, _MU_W, _MU_BIAS, _MU_V)
+
+
+def alpha_nn(Lqnorm, Ltnorm, Nqnorm, Ntnorm):
+    x = np.stack(np.broadcast_arrays(Lqnorm, Ltnorm, Nqnorm, Ntnorm),
+                 axis=-1).reshape(-1, 4)
+    a = _nn(x, _AB_W, _ALPHA_BIAS, _ALPHA_V)
+    return 1.0 / (1.0 + np.exp(-(a + _ALPHA_OUT_BIAS)))
+
+
+def beta_nn(Lqnorm, Ltnorm, Nqnorm, Ntnorm):
+    x = np.stack(np.broadcast_arrays(Lqnorm, Ltnorm, Nqnorm, Ntnorm),
+                 axis=-1).reshape(-1, 4)
+    b = _nn(x, _AB_W, _ALPHA_BIAS, _BETA_V)
+    return 1.0 / (1.0 + np.exp(-(b + _BETA_OUT_BIAS)))
+
+
+def pvalue(x, lamda, mu):
+    """hhhit-inl.h:44-47 (float inputs, double math)."""
+    h = np.float64(np.float32(lamda)) * (np.float64(np.float32(x))
+                                         - np.float64(np.float32(mu)))
+    return np.where(h > 10, np.exp(-h), 1.0 - np.exp(-np.exp(-h)))
+
+
+def log_pvalue(x, lamda, mu):
+    """hhhit-inl.h:49-53."""
+    h = np.float64(np.float32(lamda)) * (np.float64(np.float32(x))
+                                         - np.float64(np.float32(mu)))
+    with np.errstate(over="ignore"):
+        mid = np.log(1.0 - np.exp(-np.exp(-h)))
+    return np.where(h > 10, -h, np.where(h < -2.5, -np.exp(-np.exp(-h)),
+                                         mid))
+
+
+@dataclass
+class Hit:
+    """One query-template alignment (src/hhhit.h:30-147)."""
+
+    name: str = ""
+    longname: str = ""
+    fam: str = ""
+    file: str = ""
+    entry: object = None
+
+    score: float = 0.0
+    score_ss: float = 0.0
+    score_aass: float = 0.0
+    score_sort: float = 0.0
+    Pval: float = 1.0
+    Pvalt: float = 1.0
+    logPval: float = 0.0
+    logPvalt: float = 0.0
+    Eval: float = 1e6
+    logEval: float = 0.0
+    Probab: float = 0.0
+    Pforward: float = 0.0
+
+    L: int = 0
+    irep: int = 1
+    lastrep: int = 0
+
+    n_display: int = 0
+    sname: List[str] = field(default_factory=list)
+    seq: List[str] = field(default_factory=list)
+    nss_dssp: int = -1
+    nsa_dssp: int = -1
+    nss_pred: int = -1
+    nss_conf: int = -1
+    nfirst: int = -1
+    ncons: int = -1
+
+    nsteps: int = 0
+    i: Optional[np.ndarray] = None        # (nsteps+1,) 1-based
+    j: Optional[np.ndarray] = None
+    states: Optional[np.ndarray] = None
+    S: Optional[np.ndarray] = None
+    S_ss: Optional[np.ndarray] = None
+    P_posterior: Optional[np.ndarray] = None
+    i1: int = 0
+    i2: int = 0
+    j1: int = 0
+    j2: int = 0
+    matched_cols: int = 0
+    ssm1: int = 0
+    ssm2: int = 0
+    self_hit: int = 0
+    sum_of_probs: float = 0.0
+    Neff_HMM: float = 0.0
+    realign_around_viterbi: bool = False
+    min_overlap: int = 0
+
+    # template SS state arrays (for output rendering / SS rescoring)
+    ss_dssp: Optional[np.ndarray] = None
+    ss_pred: Optional[np.ndarray] = None
+    ss_conf: Optional[np.ndarray] = None
+    sa_dssp: Optional[np.ndarray] = None
+
+    def init_from_hmm(self, q, t, nseqdis: int, ssm: int):
+        """initHitFromHMM (src/hhhit.cpp:235-318): copy display info from t
+        and derive ssm1/ssm2 flags for CalcProbab."""
+        self.longname = t.longname
+        self.name = t.name
+        self.fam = t.fam
+        self.file = t.file
+        nd = min(t.n_display,
+                 nseqdis + (t.nss_dssp >= 0) + (t.nsa_dssp >= 0)
+                 + (t.nss_pred >= 0) + (t.nss_conf >= 0) + (t.ncons >= 0))
+        self.sname = list(t.sname[: nd])
+        self.seq = list(t.seq[: nd])
+        self.n_display = nd
+        # SS usage flags (hhhit.cpp:289-317)
+        self.ssm1 = self.ssm2 = 0
+        if ssm in (1, 2):
+            val = 0
+            if t.nss_dssp >= 0 and q.nss_pred >= 0:
+                val = 1
+            elif q.nss_dssp >= 0 and t.nss_pred >= 0:
+                val = 2
+            elif q.nss_pred >= 0 and t.nss_pred >= 0:
+                val = 3
+            if ssm == 1:
+                self.ssm1 = val
+            else:
+                self.ssm2 = val
+        elif ssm in (3, 4):
+            val = 3 if (q.nss_pred >= 0 and t.nss_pred >= 0) else 0
+            if ssm == 3:
+                self.ssm1 = val
+            else:
+                self.ssm2 = val
+        self.nss_dssp = t.nss_dssp
+        self.nsa_dssp = t.nsa_dssp
+        self.nss_pred = t.nss_pred
+        self.nss_conf = t.nss_conf
+        self.nfirst = t.nfirst
+        self.ncons = t.ncons
+        self.L = t.L
+        self.Neff_HMM = t.Neff_HMM
+        self.ss_dssp = t.ss_dssp.copy()
+        self.ss_pred = t.ss_pred.copy()
+        self.ss_conf = t.ss_conf.copy()
+        self.sa_dssp = t.sa_dssp.copy()
+
+    def calc_eval_score_probab(self, N_searched, lamda, loc, ssm, ssw):
+        """CalcEvalScoreProbab (hhhit.h:136-147)."""
+        self.Eval = math.exp(self.logPval + math.log(N_searched))
+        self.logEval = self.logPval + math.log(N_searched)
+        if self.logPval < -10.0:
+            base = self.logPval
+        else:
+            base = math.log(-math.log(1 - self.Pval))
+        self.score_aass = (base / 0.45
+                           - min(lamda * self.score_ss,
+                                 max(0.0, 0.2 * (self.score - 8.0))) / 0.45
+                           - 3.0)
+        self.score_sort = self.score_aass
+        self.Probab = self._calc_probab(loc, ssm, ssw)
+
+    def _calc_probab(self, loc, ssm, ssw):
+        """CalcProbab (hhhit.h:151-195)."""
+        s = -self.score_aass
+        if s > 200:
+            return 100.0
+        if loc:
+            if ssm and (self.ssm1 or self.ssm2) and ssw > 0:
+                a, b, c, d = math.sqrt(6000.0), 5.0, math.sqrt(0.12), 64.0
+            else:
+                a, b, c, d = math.sqrt(4000.0), 5.0, math.sqrt(0.15), 68.0
+        else:
+            if ssm > 0 and ssw > 0:
+                a, b, c, d = math.sqrt(4000.0), 6.0, math.sqrt(0.13), 68.0
+            else:
+                a, b, c, d = math.sqrt(6000.0), 5.0, math.sqrt(0.10), 74.0
+        t = a * math.exp(-s / b) + c * math.exp(-s / d)
+        return 100.0 / (1.0 + t * t)
+
+    def sort_key(self):
+        """operator< (hhhit.h:122-133): ascending score_sort, then file."""
+        return (self.score_sort, self.file)
+
+
+class HitList:
+    """Sorted list of hits with score calibration."""
+
+    def __init__(self):
+        self.hits: List[Hit] = []
+        self.N_searched = 0
+
+    def append(self, hit: Hit):
+        self.hits.append(hit)
+
+    def extend(self, hits):
+        self.hits.extend(hits)
+
+    def __iter__(self):
+        return iter(self.hits)
+
+    def __len__(self):
+        return len(self.hits)
+
+    def sort(self):
+        self.hits.sort(key=Hit.sort_key)
+
+    def resort(self):
+        """ResortList (list.h:710): insertion re-sort by operator<, i.e.
+        (score_sort, file) — E-value updates don't change the key."""
+        self.hits.sort(key=Hit.sort_key)
+
+    def calculate_pvalues(self, q, loc: int, ssm: int, ssw: float):
+        """CalculatePvalues (hhhitlist.cpp:499-531)."""
+        if self.N_searched == 0:
+            self.N_searched = 1
+        for hit in self.hits:
+            if loc:
+                lamda = float(lamda_nn(
+                    np.float32(math.log(q.L) / LOG1000),
+                    np.float32(math.log(hit.L) / LOG1000),
+                    np.float32(q.Neff_HMM / 10.0),
+                    np.float32(hit.Neff_HMM / 10.0))[0])
+                mu = float(mu_nn(
+                    np.float32(math.log(q.L) / LOG1000),
+                    np.float32(math.log(hit.L) / LOG1000),
+                    np.float32(q.Neff_HMM / 10.0),
+                    np.float32(hit.Neff_HMM / 10.0))[0])
+            else:
+                lamda, mu = LAMDA_GLOB, 3.0
+            hit.logPval = float(log_pvalue(hit.score, lamda, mu))
+            hit.Pval = float(pvalue(hit.score, lamda, mu))
+            hit.calc_eval_score_probab(self.N_searched, lamda, loc, ssm, ssw)
+        self.sort()
+
+    def calculate_hhblits_evalues(self, q, dbsize, alphaa, alphab, alphac,
+                                  prefilter_evalue_thresh):
+        """CalculateHHblitsEvalues (hhhitlist.cpp:463-494)."""
+        log_Pcut = math.log(prefilter_evalue_thresh / dbsize)
+        log_dbsize = math.log(float(dbsize))
+        for hit in self.hits:
+            alpha = alphaa + alphab * (hit.Neff_HMM - 1) \
+                * (1 - alphac * (q.Neff_HMM - 1))
+            hit.Eval = math.exp(hit.logPval + log_dbsize + alpha * log_Pcut)
+            hit.logEval = hit.logPval + log_dbsize + alpha * log_Pcut
+        self.resort()

@@ -124,6 +124,19 @@ def fpow2(x):
     return r
 
 
+def scalar_prod20(qi, tj):
+    """20-component dot product with the reference's SSE summation tree
+    (hhhit-inl.h:62-120): lane_l = ((p_l+p_{l+4}) + (p_{l+8}+p_{l+12}))
+    + p_{l+16}; total = (lane3+lane2) + (lane1+lane0).  Vectorized over
+    leading axes; float32 throughout.
+    """
+    p = (_f32(qi) * _f32(tj))
+    lanes = [(p[..., l] + p[..., l + 4]) + (p[..., l + 8] + p[..., l + 12])
+             for l in range(4)]
+    lanes = [np.float32(lanes[l] + p[..., l + 16]) for l in range(4)]
+    return np.float32((lanes[3] + lanes[2]) + (lanes[1] + lanes[0]))
+
+
 # ----------------------------------------------------------------- jax ----
 # Same bit math expressed with lax.bitcast_convert_type; import of jax is
 # deferred so the host-side tools work without initializing a backend.

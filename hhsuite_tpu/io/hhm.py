@@ -107,12 +107,12 @@ def write_hhm_file(q: HMM, path: str, pb: np.ndarray, **kw):
 # ---------------------------------------------------------------------------
 
 def _strinta(tokens, idx):
-    """Next integer or '*' (=-99999) from token list (hhutil strinta)."""
+    """Next integer, '*' = 99999 (util.cpp:175-196, default deflt=99999)."""
     if idx >= len(tokens):
         return None, idx
     t = tokens[idx]
     if t == "*":
-        return -99999, idx + 1
+        return 99999, idx + 1
     return int(t), idx + 1
 
 
@@ -238,7 +238,7 @@ def read_hhm(text: str, pb_out: Optional[np.ndarray] = None,
             t = line[4:].split()
             pb_local = np.zeros(NAA, dtype=np.float32)
             for a in range(20):
-                v = -99999 if t[a] == "*" else int(t[a])
+                v = 99999 if t[a] == "*" else int(t[a])
                 pb_local[S2A[a]] = fm.fpow2(np.float32(-v / HMMSCALE))
             if pb_out is not None:
                 pb_out[:] = pb_local
@@ -273,7 +273,7 @@ def read_hhm(text: str, pb_out: Optional[np.ndarray] = None,
                 # t = [res, i, 20 values..., l]
                 vals = t[2:22]
                 for a in range(20):
-                    v = -99999 if vals[a] == "*" else int(vals[a])
+                    v = 99999 if vals[a] == "*" else int(vals[a])
                     q.f[i, S2A[a]] = fm.fpow2(np.float32(-v) / HMMSCALE)
                 q.l[i] = int(t[22]) if len(t) > 22 else i
                 line = getline()

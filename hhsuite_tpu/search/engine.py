@@ -1,0 +1,315 @@
+"""Search engines: hhalign (pairwise) and hhsearch (database, no prefilter).
+
+Orchestration parity: HHalign::run (src/hhalign.cpp:590-676), HHsearch =
+HHblits engine with prefilter=false, num_rounds=1 (src/hhsearch.cpp:19-26,
+src/hhblits.cpp:1065-1414), perform_realign (src/hhblits.cpp:973-1063) and
+PosteriorDecoderRunner grouping (src/hhposteriordecoderrunner.cpp:43-119).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..constants import MINCOLS_REALIGN, Parameters
+from ..core.hit import Hit, HitList
+from ..core.hmm import HMM
+from ..io.ffindex import FFindexDatabase
+from ..io.hhm import read_hhm
+from ..matrices import (SecStrucMatrices, SubstitutionMatrix,
+                        get_ss_matrices, get_substitution_matrix)
+from .posterior import (MACBacktraceResult, PosteriorDecoder,
+                        build_realign_cell_off,
+                        prepare_query_transitions,
+                        prepare_template_transitions)
+from .query import (prepare_query_hmm, prepare_template_hmm,
+                    read_query_text)
+from .viterbi_search import viterbi_search
+
+
+class HHDatabase:
+    """Multi-file database <base>_{cs219,a3m,hhm}.ff{data,index}
+    (src/hhdatabase.cpp:64-130)."""
+
+    def __init__(self, base: str):
+        self.base = base
+        self.cs219 = self._open(base + "_cs219")
+        self.a3m = self._open(base + "_a3m")
+        self.hhm = self._open(base + "_hhm")
+        if self.cs219 is None:
+            raise FileNotFoundError(f"no cs219 database at {base}_cs219")
+
+    @staticmethod
+    def _open(prefix: str) -> Optional[FFindexDatabase]:
+        if os.path.exists(prefix + ".ffdata") and \
+                os.path.exists(prefix + ".ffindex"):
+            return FFindexDatabase(prefix + ".ffdata", prefix + ".ffindex")
+        return None
+
+    def size(self) -> int:
+        return len(self.cs219)
+
+    def init_no_prefilter(self) -> List[Tuple[str, int]]:
+        """All entries with sequence lengths, in cs219 index order
+        (Prefilter::init_no_prefiltering)."""
+        return [(e.name, e.length - 1) for e in self.cs219.entries]
+
+    def get_template_hmm(self, name: str, par: Parameters,
+                         mats: SubstitutionMatrix,
+                         use_global_weights: int = 1) -> Tuple[HMM, int]:
+        """getTemplateHMM (hhdatabase.cpp:300-455): prefer hhm, else a3m."""
+        if self.hhm is not None and name in self.hhm:
+            text = self.hhm.read_text(name)
+            return template_hmm_from_text(text, name, par, mats,
+                                          use_global_weights)
+        if self.a3m is not None and name in self.a3m:
+            text = self.a3m.read_text(name)
+            return template_hmm_from_text(text, name, par, mats,
+                                          use_global_weights)
+        raise KeyError(f"entry {name} not in database {self.base}")
+
+    def get_template_a3m_text(self, name: str) -> str:
+        if self.a3m is not None and name in self.a3m:
+            return self.a3m.read_text(name)
+        raise KeyError(f"no a3m for entry {name}")
+
+
+def template_hmm_from_text(text: str, name: str, par: Parameters,
+                           mats: SubstitutionMatrix,
+                           use_global_weights: int = 1) -> Tuple[HMM, int]:
+    """HHEntry::getTemplateHMM file sniffing (hhdatabase.cpp:398-455)."""
+    from ..core.alignment import Alignment
+    from ..core.profile import frequencies_and_transitions
+
+    stripped = text.lstrip()
+    if stripped.startswith("HMMER"):
+        raise NotImplementedError("HMMER templates not supported yet")
+    if stripped.startswith("HH") or stripped.startswith("NAME"):
+        t = read_hhm(text, nseqdis=par.nseqdis, maxres=par.maxres)
+        base = os.path.basename(name)
+        t.file = base.rsplit(".", 1)[0] if "." in base else base
+        return t, 0
+    if stripped.startswith("#") or stripped.startswith(">"):
+        ali = Alignment.from_a3m_text(text, infile=name, mark=par.mark,
+                                      maxseq=par.maxseq,
+                                      nseqdis=par.nseqdis)
+        ali.compress(M=par.M_template, Mgaps=par.Mgaps, maxres=par.maxres,
+                     infile=name)
+        ali.N_filtered = ali.filter(par.max_seqid, mats.S, par.coverage,
+                                    par.qid, par.qsc, par.Ndiff)
+        t = HMM()
+        frequencies_and_transitions(ali, t, use_global_weights, par.mark,
+                                    par.cons, par.showcons, mats.pb,
+                                    mats.Sim)
+        return t, 0
+    raise ValueError(f"unrecognized template format in {name}")
+
+
+def perform_realign(par: Parameters, q_realign: HMM, hitlist: HitList,
+                    get_template, mats: SubstitutionMatrix,
+                    ss: Optional[SecStrucMatrices],
+                    min_col_realign: int = MINCOLS_REALIGN):
+    """MAC realignment of selected hits (hhblits.cpp:973-1063 +
+    hhposteriordecoderrunner.cpp:43-119).
+
+    ``q_realign`` must be a fresh copy of the prepared query HMM (it is
+    mutated: linear transitions + boundary overrides).
+    ``get_template(entry)`` -> (HMM prepared with log transitions, format).
+    """
+    Lmaxmem = int((par.maxmem - 0.5) * 1024 ** 3
+                  / (2 * 8 + 8) / max(q_realign.L, 1) / max(par.threads, 1))
+    n_realign = 0
+    selected: List[Hit] = []
+    for hit in hitlist:
+        if n_realign >= par.realign_max and n_realign >= max(par.B, par.Z):
+            break
+        if hit.Eval > par.e:
+            if n_realign >= max(par.B, par.Z):
+                continue
+            if n_realign >= max(par.b, par.z) and hit.Probab < par.p:
+                continue
+            if n_realign >= max(par.b, par.z) and hit.Eval > par.E:
+                continue
+        if hit.L > Lmaxmem:
+            continue
+        selected.append(hit)
+        n_realign += 1
+
+    q_realign.log2lin_transitions()
+    prepare_query_transitions(q_realign)
+
+    # group by template entry, sorted by irep (runner:52-64)
+    groups: Dict[str, List[Hit]] = {}
+    for hit in selected:
+        groups.setdefault(str(hit.entry), []).append(hit)
+    decoder = PosteriorDecoder(bool(par.loc), par.ssw_realign,
+                               *( (ss.S73, ss.S37, ss.S33) if ss
+                                  else (None, None, None)))
+
+    for name, group in groups.items():
+        group.sort(key=lambda h: h.irep)
+        t, fmt = get_template(group[0].entry)
+        t.log2lin_transitions()
+        prepare_template_transitions(t)
+        to_exclude: List[MACBacktraceResult] = []
+        for hit in group:
+            co = build_realign_cell_off(q_realign, t, hit,
+                                        par.min_overlap, to_exclude)
+            decoder.realign(q_realign, t, hit, co, par.shift, par.mact,
+                            par.corr)
+            to_exclude.append(MACBacktraceResult(hit.alt_i, hit.alt_j))
+
+    # delete hits whose realigned alignment became too short
+    # (hhblits.cpp:1036-1062); note `continue` skips the length check
+    # without counting the hit
+    nhits = 0
+    keep = []
+    stopped = False
+    for idx, hit in enumerate(hitlist):
+        if stopped:
+            keep.append(hit)
+            continue
+        if nhits > par.realign_max and nhits >= max(par.B, par.Z):
+            stopped = True
+            keep.append(hit)
+            continue
+        if hit.Eval > par.e:
+            if nhits >= max(par.B, par.Z):
+                keep.append(hit)
+                continue
+            if nhits >= max(par.b, par.z) and hit.Probab < par.p:
+                keep.append(hit)
+                continue
+            if nhits >= max(par.b, par.z) and hit.Eval > par.E:
+                keep.append(hit)
+                continue
+        if hit.matched_cols >= min_col_realign:
+            keep.append(hit)
+        nhits += 1
+    hitlist.hits = keep
+
+
+def run_hhalign(par: Parameters, query_text: str, template_texts:
+                List[Tuple[str, str]], query_name: str = "query"):
+    """hhalign -i query -t templates (HHalign::run, hhalign.cpp:590-676).
+
+    Returns (q, hitlist).
+    """
+    mats = get_substitution_matrix(par.matrix)
+    ss = get_ss_matrices(par.ssa)
+    q, qali, input_format = read_query_text(par, query_text, query_name,
+                                            mats)
+    prepare_query_hmm(par, q, mats, input_format)
+    if par.notags:
+        neutralize_tags(q, mats.pb)
+
+    templates = []
+    for name, text in template_texts:
+        t, fmt = template_hmm_from_text(text, name, par, mats,
+                                        use_global_weights=1)
+        prepare_template_hmm(par, q, t, mats, fmt)
+        templates.append((name, t))
+
+    hits = viterbi_search(par, q, templates, ss_matrices=ss)
+    hitlist = HitList()
+    hitlist.N_searched = len(templates)
+    hitlist.extend(hits)
+    hitlist.sort()
+    hitlist.calculate_pvalues(q, par.loc, par.ssm, par.ssw)
+
+    par.ssw = par.ssw_realign
+    if par.realign:
+        import copy
+
+        def get_template(entry):
+            for name, text in template_texts:
+                if name == entry:
+                    t, fmt = template_hmm_from_text(text, name, par, mats,
+                                                    use_global_weights=1)
+                    prepare_template_hmm(par, q, t, mats, fmt)
+                    return t, fmt
+            raise KeyError(entry)
+
+        q_re = copy.deepcopy(q)
+        perform_realign(par, q_re, hitlist, get_template, mats, ss,
+                        min_col_realign=1)
+    return q, hitlist
+
+
+def run_hhsearch(par: Parameters, query_text: str, db: HHDatabase,
+                 query_name: str = "query"):
+    """hhsearch -i query -d db (single round, no prefilter)."""
+    mats = get_substitution_matrix(par.matrix)
+    ss = get_ss_matrices(par.ssa)
+    par.dbsize = db.size()
+    q, qali, input_format = read_query_text(par, query_text, query_name,
+                                            mats)
+    prepare_query_hmm(par, q, mats, input_format)
+    if par.notags:
+        neutralize_tags(q, mats.pb)
+
+    entries = db.init_no_prefilter()
+    templates = []
+    for name, seqlen in entries:
+        t, fmt = db.get_template_hmm(name, par, mats, use_global_weights=1)
+        prepare_template_hmm(par, q, t, mats, fmt)
+        templates.append((name, t))
+
+    hits = viterbi_search(par, q, templates, ss_matrices=ss)
+    hitlist = HitList()
+    hitlist.N_searched = len(entries)
+    hitlist.extend(hits)
+    hitlist.sort()
+    hitlist.calculate_pvalues(q, par.loc, par.ssm, par.ssw)
+
+    if par.realign:
+        import copy
+
+        def get_template(entry):
+            t, fmt = db.get_template_hmm(str(entry), par, mats,
+                                         use_global_weights=par.wg)
+            prepare_template_hmm(par, q, t, mats, fmt)
+            return t, fmt
+
+        q_re = copy.deepcopy(q)
+        perform_realign(par, q_re, hitlist, get_template, mats, ss,
+                        min_col_realign=MINCOLS_REALIGN)
+    return q, hitlist
+
+
+def neutralize_tags(q: HMM, pb: np.ndarray):
+    """HMM::NeutralizeTags (hhhmm.cpp:2319-2354): neutralize His/myc/FLAG
+    tag columns in the query profile (string positions, reference quirk)."""
+    if q.nfirst < 0 or not q.seq:
+        return
+    qseq = q.seq[q.nfirst]
+    L = q.L
+
+    pos = qseq.find("HHHHH")
+    if pos >= 0:
+        i0 = pos + 1
+        i = max(i0 - 8, 1)
+        while i < i0 and i <= L + 1:
+            q.p[i] = pb
+            q.f[i] = pb
+            i += 1
+        pt = pos
+        while pt < len(qseq) and qseq[pt] == "H":
+            if i <= L + 1:
+                q.p[i] = pb
+                q.f[i] = pb
+            i += 1
+            pt += 1
+        i1 = i
+        while i < min(i1 + 8, L + 1):
+            q.p[i] = pb
+            q.f[i] = pb
+            i += 1
+    for tag, tlen in (("EQKLISEEDL", 10), ("DYKDDDDK", 8)):
+        pos = qseq.find(tag)
+        if pos >= 0:
+            for i in range(pos + 1, min(pos + tlen, L + 1) + 1):
+                q.p[i] = pb
+                q.f[i] = pb

@@ -1,0 +1,483 @@
+"""MAC realignment: Forward/Backward posterior decoding + MAC backtrace.
+
+Line-faithful reimplementation of PosteriorDecoder
+(src/hhposteriordecoder.cpp:86-307, src/hhforwardalgorithm.cpp,
+src/hhbackwardalgorithm.cpp, src/hhmacalgorithm.cpp,
+src/hhbacktracemac.cpp): double-precision row-rescaled Forward/Backward
+restricted to a cell-off corridor of ±40 cells around the Viterbi path
+(FWD_BKW_PATHWIDTH), posterior matrix P_MM, MAC DP with mact gap penalty
+and the MAC backtrace that replaces the hit's alignment.
+
+This is the reference-exact host path; the banded corridor keeps it
+O(width · L).  A batched f32 device variant for bulk realignment lives in
+ops/ (used when output fidelity tolerances allow).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .. import fastmath as fm
+from ..constants import (D2D, D2M, FWD_BKW_PATHWIDTH, I2I, I2M, M2D, M2I,
+                         M2M, SELFEXCL)
+from ..core.hit import Hit, log_pvalue, pvalue
+from ..core.hmm import HMM
+
+DBL_MIN = np.finfo(np.float64).tiny
+FLT_MIN = float(np.finfo(np.float32).tiny)
+FLT_MAX = float(np.finfo(np.float32).max)
+STOP, MM, GD, IM, DG, MI = 0, 2, 3, 4, 5, 6
+
+LAMDA = 0.388
+
+
+@dataclass
+class MACBacktraceResult:
+    alt_i: List[int] = field(default_factory=list)
+    alt_j: List[int] = field(default_factory=list)
+
+
+def _score_ss_single(q, t, i, j, ssw, ssm, S73, S37, S33):
+    """Viterbi::ScoreSS for one cell (hhviterbi.h:193-211)."""
+    if ssm == 0 or S73 is None:
+        return 0.0
+    i = min(i, q.ss_pred.shape[0] - 1)
+    j = min(j, t.ss_pred.shape[0] - 1)
+    if ssm == 1:    # PRED_DSSP
+        return ssw * float(S37[q.ss_pred[i], q.ss_conf[i], t.ss_dssp[j]])
+    if ssm == 2:    # DSSP_PRED
+        return ssw * float(S73[q.ss_dssp[i], t.ss_pred[j], t.ss_conf[j]])
+    if ssm == 3:    # PRED_PRED
+        return ssw * float(S33[q.ss_pred[i], q.ss_conf[i],
+                               t.ss_pred[j], t.ss_conf[j]])
+    return 0.0
+
+
+def build_realign_cell_off(q: HMM, t: HMM, hit: Hit, par_min_overlap: int,
+                           alignments_to_exclude: List[MACBacktraceResult]
+                           ) -> np.ndarray:
+    """initializeForAlignment + maskViterbiAlignment + excludeMACAlignment
+    (hhposteriordecoder.cpp:162-265, hhviterbi.cpp:322-357)."""
+    Lq, Lt = q.L, t.L
+    co = np.zeros((Lq + 1, Lt + 1), dtype=bool)
+
+    # Viterbi::InitializeForAlignment (self == 0 path): min-overlap corners
+    if par_min_overlap == 0:
+        min_overlap = min(60, int(0.333 * min(Lq, Lt)) + 1)
+    else:
+        min_overlap = min(par_min_overlap, int(0.8 * min(Lq, Lt)))
+    for i in range(0, min_overlap):
+        j0 = i - min_overlap + Lt + 1
+        if j0 <= Lt:
+            co[i, max(j0, 0): Lt + 1] = True
+    for i in range(Lq - min_overlap + 1, Lq + 1):
+        j1 = i + min_overlap - Lq
+        if j1 > 1:
+            co[i, 1: j1] = True
+
+    # maskViterbiAlignment: off everything except UL/LR rectangles ...
+    iidx = np.arange(1, Lq + 1)[:, None]
+    jidx = np.arange(1, Lt + 1)[None, :]
+    keep = ((iidx < hit.i1) & (jidx < hit.j1)) | ((iidx > hit.i2)
+                                                  & (jidx > hit.j2))
+    co[1:, 1:] = ~keep
+    # ... then re-open a ±40 corridor around the Viterbi path
+    W = FWD_BKW_PATHWIDTH
+    for step in range(hit.nsteps, 0, -1):
+        si, sj = int(hit.i[step]), int(hit.j[step])
+        co[max(1, si - W): min(Lq, si + W) + 1, sj] = False
+    for step in range(hit.nsteps, 0, -1):
+        si, sj = int(hit.i[step]), int(hit.j[step])
+        co[si, max(1, sj - W): min(Lt, sj + W) + 1] = False
+
+    # exclude previous alternative MAC alignments (±2 cells)
+    for al in alignments_to_exclude:
+        for ii, jj in zip(al.alt_i, al.alt_j):
+            co[max(ii - 2, 1): min(ii + 2, Lq) + 1, jj] = True
+            co[ii, max(jj - 2, 1): min(jj + 2, Lt) + 1] = True
+    return co
+
+
+def prepare_template_transitions(t: HMM):
+    """Boundary transition init (hhposteriordecoder.cpp:168-177);
+    t.tr must already be linear."""
+    t.tr[0, M2M] = 1.0
+    t.tr[0, M2D] = t.tr[0, M2I] = 0.0
+    t.tr[0, I2M] = t.tr[0, I2I] = 0.0
+    t.tr[0, D2M] = t.tr[0, D2D] = 0.0
+    t.tr[t.L, M2M] = 1.0
+    t.tr[t.L, M2D] = t.tr[t.L, M2I] = 0.0
+    t.tr[t.L, I2M] = t.tr[t.L, I2I] = 0.0
+    t.tr[t.L, D2M] = 1.0
+    t.tr[t.L, D2D] = 0.0
+
+
+def prepare_query_transitions(q: HMM):
+    """initializeQueryHMMTransitions (hhposteriordecoderrunner.cpp:147-154);
+    q.tr must already be linear."""
+    q.tr[0, M2D] = q.tr[0, M2I] = 0.0
+    q.tr[0, I2M] = q.tr[0, I2I] = 0.0
+    q.tr[0, D2M] = q.tr[0, D2D] = 0.0
+    q.tr[q.L, M2M] = 1.0
+    q.tr[q.L, M2D] = q.tr[q.L, M2I] = 0.0
+    q.tr[q.L, I2M] = q.tr[q.L, I2I] = 0.0
+    q.tr[q.L, D2M] = 1.0
+
+
+class PosteriorDecoder:
+    """One realign() = forward + backward + MAC + backtrace."""
+
+    def __init__(self, local: bool, ssw: float, S73=None, S37=None,
+                 S33=None):
+        self.local = local
+        self.ssw = ssw
+        self.S73, self.S37, self.S33 = S73, S37, S33
+
+    # ------------------------------------------------------------ forward --
+    def realign(self, q: HMM, t: HMM, hit: Hit, co: np.ndarray,
+                shift: float, mact: float, corr: float):
+        """hhposteriordecoder.cpp:86-122 (cell-off matrix passed in)."""
+        Lq, Lt = q.L, t.L
+        p_mm = np.zeros((Lq + 1, Lt + 1), dtype=np.float64)
+        scale = np.ones(Lq + 2, dtype=np.float64)
+
+        saved = (hit.score, hit.score_ss, hit.score_aass, hit.Pval,
+                 hit.Pvalt, hit.logPval, hit.logPvalt, hit.Eval,
+                 hit.logEval, hit.Probab)
+
+        self._forward(q, t, hit, p_mm, co, shift, scale)
+        self._backward(q, t, hit, p_mm, co, shift, scale)
+        bmac = self._mac(q, t, hit, p_mm, co, mact)
+        self._backtrace_mac(q, t, hit, p_mm, co, bmac, corr)
+
+        (hit.score, hit.score_ss, hit.score_aass, hit.Pval, hit.Pvalt,
+         hit.logPval, hit.logPvalt, hit.Eval, hit.logEval,
+         hit.Probab) = saved
+        hit.P_MM = p_mm    # posterior matrix (for -omat output)
+        return p_mm
+
+    def _forward(self, q, t, hit, p_mm, co, shift, scale):
+        """hhforwardalgorithm.cpp:10-220 (double precision, row scaled)."""
+        Lq, Lt = q.L, t.L
+        local = self.local
+        pmin = 1.0 if local else 0.0
+        Cshift = 2.0 ** float(np.float32(shift))
+        qp = q.p.astype(np.float64)
+        tp = t.p.astype(np.float64)
+        qtr = q.tr.astype(np.float64)
+        ttr = t.tr.astype(np.float64)
+        ssm2 = hit.ssm2
+
+        def probfwd(i, j):
+            return float(fm.scalar_prod20(q.p[i], t.p[j]))
+
+        # row i = 1
+        curr = np.zeros((Lt + 1, 5))   # columns: mm, mi, dg, im, gd
+        MMc, MIc, DGc, IMc, GDc = 0, 1, 2, 3, 4
+        for j in range(1, Lt + 1):
+            if co[1, j]:
+                continue
+            curr[j, MMc] = probfwd(1, j) * Cshift
+            curr[j, IMc] = (curr[j - 1, MMc] * qtr[1, M2I] * ttr[j - 1, M2M]
+                            + curr[j - 1, IMc] * qtr[1, I2I]
+                            * ttr[j - 1, M2M])
+            curr[j, GDc] = (curr[j - 1, MMc] * ttr[j - 1, M2D]
+                            + curr[j - 1, GDc] * ttr[j - 1, D2D])
+        p_mm[1, :] = curr[:, MMc]
+        prev = curr.copy()
+        scale[0] = scale[1] = scale[2] = 1.0
+        scale_prod = 1.0
+
+        for i in range(2, Lq + 1):
+            jmin = 1
+            if scale_prod < DBL_MIN * 100:
+                scale_prod = 0.0
+            else:
+                scale_prod *= scale[i]
+            curr = np.zeros((Lt + 1, 5))
+            if not co[i, jmin]:
+                # reference reads ScoreSS at (1, j=t.L+1): zero with no SS
+                ss0 = _score_ss_single(q, t, 1, Lt + 1, self.ssw, ssm2,
+                                       self.S73, self.S37, self.S33)
+                curr[jmin, MMc] = (scale_prod * fm.fpow2(np.float32(ss0))
+                                   * probfwd(i, jmin) * Cshift)
+                curr[jmin, MIc] = scale[i] * (
+                    prev[jmin, MMc] * qtr[i - 1, M2M] * ttr[jmin, M2I]
+                    + prev[jmin, MIc] * qtr[i - 1, M2M] * ttr[jmin, I2I])
+                curr[jmin, DGc] = scale[i] * (
+                    prev[jmin, MMc] * qtr[i - 1, M2D]
+                    + prev[jmin, DGc] * qtr[i - 1, D2D])
+            p_mm[i, jmin] = curr[jmin, MMc]
+            Pmax_i = 0.0
+            row_co = co[i]
+            for j in range(jmin + 1, Lt + 1):
+                if row_co[j]:
+                    continue
+                ss = _score_ss_single(q, t, i, j, self.ssw, ssm2,
+                                      self.S73, self.S37, self.S33)
+                mm = (probfwd(i, j) * Cshift
+                      * float(fm.fpow2(np.float32(ss))) * scale[i]
+                      * (pmin
+                         + prev[j - 1, MMc] * qtr[i - 1, M2M]
+                         * ttr[j - 1, M2M]
+                         + prev[j - 1, GDc] * qtr[i - 1, M2M]
+                         * ttr[j - 1, D2M]
+                         + prev[j - 1, IMc] * qtr[i - 1, I2M]
+                         * ttr[j - 1, M2M]
+                         + prev[j - 1, DGc] * qtr[i - 1, D2M]
+                         * ttr[j - 1, M2M]
+                         + prev[j - 1, MIc] * qtr[i - 1, M2M]
+                         * ttr[j - 1, I2M]))
+                curr[j, MMc] = mm
+                curr[j, GDc] = (curr[j - 1, MMc] * ttr[j - 1, M2D]
+                                + curr[j - 1, GDc] * ttr[j - 1, D2D])
+                curr[j, IMc] = (curr[j - 1, MMc] * qtr[i, M2I]
+                                * ttr[j - 1, M2M]
+                                + curr[j - 1, IMc] * qtr[i, I2I]
+                                * ttr[j - 1, M2M])
+                curr[j, DGc] = scale[i] * (prev[j, MMc] * qtr[i - 1, M2D]
+                                           + prev[j, DGc] * qtr[i - 1, D2D])
+                curr[j, MIc] = scale[i] * (
+                    prev[j, MMc] * qtr[i - 1, M2M] * ttr[j, M2I]
+                    + prev[j, MIc] * qtr[i - 1, M2M] * ttr[j, I2I])
+                if mm > Pmax_i:
+                    Pmax_i = mm
+            p_mm[i, :] = curr[:, MMc]
+            prev = curr
+            pmin *= scale[i]
+            if pmin < DBL_MIN * 100:
+                pmin = 0.0
+            scale[i + 1] = 1.0 / (Pmax_i + 1.0)
+
+        # total forward probability (hhforwardalgorithm.cpp:150-178)
+        if local:
+            Pforward = 1.0
+            for i in range(1, Lq + 1):
+                Pforward += float(p_mm[i, 1:].sum())
+                Pforward *= scale[i + 1]
+        else:
+            Pforward = 0.0
+            for i in range(1, Lq):
+                Pforward = (Pforward + p_mm[i, Lt]) * scale[i + 1]
+            Pforward += float(p_mm[Lq, 1:].sum())
+            Pforward *= scale[Lq + 1]
+        hit.Pforward = Pforward
+
+        score = math.log2(Pforward) - 10.0
+        for i in range(1, Lq + 2):
+            score -= math.log2(scale[i])
+        if local:
+            score -= math.log(Lt * Lq) / LAMDA + 14.0
+        hit.score = score
+
+    def _backward(self, q, t, hit, p_mm, co, shift, scale):
+        """hhbackwardalgorithm.cpp (double precision)."""
+        Lq, Lt = q.L, t.L
+        Cshift = 2.0 ** float(np.float32(shift))
+        qtr = q.tr.astype(np.float64)
+        ttr = t.tr.astype(np.float64)
+        ssm2 = hit.ssm2
+        MMc, MIc, DGc, IMc, GDc = 0, 1, 2, 3, 4
+
+        def probfwd(i, j):
+            return float(fm.scalar_prod20(q.p[i], t.p[j]))
+
+        prev = np.zeros((Lt + 2, 5))
+        for j in range(Lt, 0, -1):
+            if co[Lq, j]:
+                p_mm[Lq, j] = 0.0
+            else:
+                prev[j, MMc] = scale[Lq + 1]
+                p_mm[Lq, j] = p_mm[Lq, j] * scale[Lq + 1] / hit.Pforward
+
+        pmin = scale[Lq + 1] if self.local else 0.0
+        scale_prod = scale[Lq + 1]
+
+        for i in range(Lq - 1, 0, -1):
+            jmin = 1
+            scale_prod *= scale[i + 1]
+            if scale_prod < DBL_MIN * 100:
+                scale_prod = 0.0
+            curr = np.zeros((Lt + 2, 5))
+            if co[i, Lt]:
+                p_mm[i, Lt] = 0.0
+            else:
+                curr[Lt, MMc] = scale_prod
+                p_mm[i, Lt] = p_mm[i, Lt] * scale_prod / hit.Pforward
+            pmin *= scale[i + 1]
+            if pmin < DBL_MIN * 100:
+                pmin = 0.0
+            row_co = co[i]
+            for j in range(Lt - 1, jmin - 1, -1):
+                if row_co[j]:
+                    continue
+                ss = _score_ss_single(q, t, i + 1, j + 1, self.ssw, ssm2,
+                                      self.S73, self.S37, self.S33)
+                pmatch = (prev[j + 1, MMc] * probfwd(i + 1, j + 1)
+                          * float(fm.fpow2(np.float32(ss))) * Cshift
+                          * scale[i + 1])
+                curr[j, MMc] = (pmin
+                                + pmatch * qtr[i, M2M] * ttr[j, M2M]
+                                + curr[j + 1, GDc] * ttr[j, M2D]
+                                + curr[j + 1, IMc] * qtr[i, M2I]
+                                * ttr[j, M2M]
+                                + prev[j, DGc] * qtr[i, M2D] * scale[i + 1]
+                                + prev[j, MIc] * qtr[i, M2M] * ttr[j, M2I]
+                                * scale[i + 1])
+                curr[j, GDc] = (pmatch * qtr[i, M2M] * ttr[j, D2M]
+                                + curr[j + 1, GDc] * ttr[j, D2D])
+                curr[j, IMc] = (pmatch * qtr[i, I2M] * ttr[j, M2M]
+                                + curr[j + 1, IMc] * qtr[i, I2I]
+                                * ttr[j, M2M])
+                curr[j, DGc] = (pmatch * qtr[i, D2M] * ttr[j, M2M]
+                                + prev[j, DGc] * qtr[i, D2D]
+                                * scale[i + 1])
+                curr[j, MIc] = (pmatch * qtr[i, M2M] * ttr[j, I2M]
+                                + prev[j, MIc] * qtr[i, M2M] * ttr[j, I2I]
+                                * scale[i + 1])
+            for jj in range(jmin, Lt):
+                p_mm[i, jj] *= curr[jj, MMc] / hit.Pforward
+            prev = curr
+
+    def _mac(self, q, t, hit, p_mm, co, mact) -> np.ndarray:
+        """hhmacalgorithm.cpp (float32 S values like the reference)."""
+        Lq, Lt = q.L, t.L
+        b = np.zeros((Lq + 1, Lt + 1), dtype=np.uint8)
+        S_prev = np.zeros(Lt + 1, dtype=np.float32)
+        score_MAC = -FLT_MAX
+        hit.i2 = hit.j2 = 0
+        mact32 = np.float32(mact)
+        half = np.float32(0.5) * mact32
+        for i in range(1, Lq + 1):
+            S_curr = np.zeros(Lt + 1, dtype=np.float32)
+            row_co = co[i]
+            for j in range(1, Lt + 1):
+                if row_co[j]:
+                    S_curr[j] = -FLT_MIN
+                    b[i, j] = STOP
+                    continue
+                post = np.float32(p_mm[i, j])
+                term1 = post - mact32
+                term2 = S_prev[j - 1] + post - mact32
+                term3 = S_prev[j] - half
+                term4 = S_curr[j - 1] - half
+                if term1 > term2:
+                    mx, val = term1, STOP
+                else:
+                    mx, val = term2, MM
+                if term3 > mx:
+                    mx, val = term3, MI
+                if term4 > mx:
+                    mx, val = term4, IM
+                S_curr[j] = mx
+                b[i, j] = val
+                if mx > score_MAC and (self.local or i == Lq):
+                    hit.i2, hit.j2 = i, j
+                    score_MAC = mx
+            if not self.local and S_curr[Lt] > score_MAC:
+                hit.i2, hit.j2 = i, Lt
+                score_MAC = S_curr[Lt]
+            S_prev = S_curr
+        return b
+
+    def _backtrace_mac(self, q, t, hit, p_mm, co, b, corr):
+        """hhbacktracemac.cpp:111-304."""
+        Lq, Lt = q.L, t.L
+        b = b.copy()
+        b[:, 1] = STOP
+        b[1, 1: Lt + 1] = STOP
+
+        hit.matched_cols = 1
+        state = MM
+        i, j = hit.i2, hit.j2
+        i_steps = [0]
+        j_steps = [0]
+        states = [0]
+        alt_i: List[int] = []
+        alt_j: List[int] = []
+        if b[i, j] != MM:
+            i_steps[0] = i
+            j_steps[0] = j
+            alt_i.append(i)
+            alt_j.append(j)
+            state = STOP
+            nsteps = 0
+        else:
+            while state != STOP:
+                state = int(b[i, j])
+                states.append(state)
+                i_steps.append(i)
+                j_steps.append(j)
+                alt_i.append(i)
+                alt_j.append(j)
+                co[max(i - 2, 1): min(i + 2, Lq) + 1, j] = True
+                co[i, max(j - 2, 1): min(j + 2, Lt) + 1] = True
+                if state == MM:
+                    hit.matched_cols += 1
+                    i -= 1
+                    j -= 1
+                elif state == IM:
+                    j -= 1
+                elif state == MI:
+                    i -= 1
+                elif state == STOP:
+                    pass
+                else:
+                    state = STOP
+            nsteps = len(states) - 1
+            states[nsteps] = MM
+
+        hit.i = np.array(i_steps, dtype=np.int32)
+        hit.j = np.array(j_steps, dtype=np.int32)
+        hit.states = np.array(states, dtype=np.int8)
+        hit.nsteps = nsteps
+        hit.i1 = int(hit.i[nsteps]) if nsteps else int(hit.i[0])
+        hit.j1 = int(hit.j[nsteps]) if nsteps else int(hit.j[0])
+        hit.alt_i = alt_i
+        hit.alt_j = alt_j
+
+        # rescoring along the MAC path (hhbacktracemac.cpp:186-254)
+        S = np.zeros(nsteps + 1, dtype=np.float32)
+        S_ss = np.zeros(nsteps + 1, dtype=np.float32)
+        P_post = np.zeros(nsteps + 1, dtype=np.float32)
+        score_ss = np.float32(0.0)
+        sum_of_probs = 0.0
+        ssm = hit.ssm1 + hit.ssm2
+        for step in range(1, nsteps + 1):
+            if hit.states[step] == MM:
+                si, sj = int(hit.i[step]), int(hit.j[step])
+                S[step] = fm.fast_log2(fm.scalar_prod20(q.p[si], t.p[sj]))
+                S_ss[step] = _score_ss_single(q, t, si, sj, self.ssw, ssm,
+                                              self.S73, self.S37, self.S33)
+                score_ss = np.float32(score_ss + S_ss[step])
+                P_post[step] = p_mm[si, sj]
+                if t.nss_dssp < 0 or t.ss_dssp[sj] > 0:
+                    sum_of_probs += float(P_post[step])
+        hit.S = S
+        hit.S_ss = S_ss
+        hit.P_posterior = P_post
+        hit.sum_of_probs = sum_of_probs
+        hit.score_ss = float(score_ss)
+        if hit.ssm2 >= 1:
+            hit.score -= hit.score_ss
+        scorr = np.float32(0.0)
+        if nsteps:
+            for lag in (1, 2, 3, 4):
+                for step in range(1, nsteps + 1 - lag):
+                    scorr = np.float32(scorr
+                                       + np.float32(S[step]
+                                                    * S[step + lag]))
+            hit.score += float(np.float32(corr) * scorr)
+        hit.score_aass = -hit.score
+        hit.logPval = 0.0
+        hit.Pval = 1.0
+        if t.mu:
+            hit.logPvalt = float(log_pvalue(hit.score, t.lamda, t.mu))
+            hit.Pvalt = float(pvalue(hit.score, t.lamda, t.mu))
+        else:
+            hit.logPvalt = 0.0
+            hit.Pvalt = 1.0

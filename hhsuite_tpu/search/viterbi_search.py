@@ -1,0 +1,240 @@
+"""Viterbi search scheduling: template batches -> scored Hits.
+
+TPU-native replacement for ViterbiRunner (src/hhviterbirunner.cpp:75-330):
+templates are length-sorted and packed into padded device batches (the
+batch axis replaces the reference's VECSIZE_FLOAT SIMD lanes and OpenMP
+threads), the wavefront kernel scores a whole batch per dispatch, and the
+host decodes backtraces, rescoring each path like ScoreForBacktrace
+(src/hhviterbi.cpp:195-283).  The alternative-alignment loop with path
+exclusion (par.altali, src/hhviterbirunner.cpp:104-194) runs on the host
+with per-template cell-off masks.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .. import fastmath as fm
+from ..constants import (MAXCF, NDSSP, NSSPRED, Parameters)
+from ..core.hit import Hit
+from ..core.hmm import HMM
+from ..ops import viterbi as V
+
+FLT_MAX = float(np.finfo(np.float32).max)
+
+# ss_hmm_mode bit flags (hhhmm.h computeScoreSSMode)
+NO_SS_INFORMATION = 0
+PRED_DSSP = 1
+DSSP_PRED = 2
+PRED_PRED = 4
+
+
+def compute_ss_hmm_mode(q: HMM, templates: List[HMM]) -> int:
+    """HMM::computeScoreSSMode consensus over a batch followed by the
+    reference's exact (quirky) mode-selection cascade
+    (hhviterbirunner.cpp:14-22): effectively only PRED_PRED survives."""
+    consensus = 0xFF
+    for t in templates:
+        mode = 0
+        mode |= PRED_DSSP if (q.nss_pred >= 0 and t.nss_dssp >= 0) else 0
+        mode |= DSSP_PRED if (q.nss_dssp >= 0 and t.nss_pred >= 0) else 0
+        mode |= PRED_PRED if (q.nss_pred >= 0 and t.nss_pred >= 0) else 0
+        consensus &= mode
+    ss = consensus & PRED_DSSP
+    ss = (consensus & DSSP_PRED) if ss == 0 else 0
+    ss = (consensus & PRED_PRED) if ss == 0 else 0
+    return ss
+
+
+def pack_templates(templates: List[HMM], Lt_max: int
+                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pack template HMMs into padded arrays (HMMSimd::MapHMMVector
+    semantics, hhhmmsimd.cpp:86-160: pad tr with -FLT_MAX, p with 0)."""
+    B = len(templates)
+    tp = np.zeros((B, Lt_max + 2, 20), dtype=np.float32)
+    ttr = np.full((B, Lt_max + 2, 7), -FLT_MAX, dtype=np.float32)
+    t_L = np.zeros(B, dtype=np.int32)
+    for b, t in enumerate(templates):
+        L = t.L
+        t_L[b] = L
+        tp[b, : L + 1] = t.p[: L + 1]
+        ttr[b, : L + 1] = t.tr[: L + 1]
+    return tp, ttr, t_L
+
+
+def build_ss_score(q: HMM, t: HMM, ss_hmm_mode: int, ssw: float,
+                   S73, S37, S33) -> Optional[np.ndarray]:
+    """Precompute the (Lq+1, Lt+1) SS score matrix for one template
+    (Viterbi::ScoreSS, hhviterbi.h:193-211), already ssw-weighted."""
+    if ss_hmm_mode == NO_SS_INFORMATION:
+        return None
+    Lq, Lt = q.L, t.L
+    out = np.zeros((Lq + 1, Lt + 1), dtype=np.float32)
+    qi = np.arange(1, Lq + 1)
+    tj = np.arange(1, Lt + 1)
+    if ss_hmm_mode == PRED_DSSP:
+        out[1:, 1:] = ssw * S37[q.ss_pred[qi][:, None],
+                                q.ss_conf[qi][:, None],
+                                t.ss_dssp[tj][None, :]]
+    elif ss_hmm_mode == DSSP_PRED:
+        out[1:, 1:] = ssw * S73[q.ss_dssp[qi][:, None],
+                                t.ss_pred[tj][None, :],
+                                t.ss_conf[tj][None, :]]
+    elif ss_hmm_mode == PRED_PRED:
+        out[1:, 1:] = ssw * S33[q.ss_pred[qi][:, None],
+                                q.ss_conf[qi][:, None],
+                                t.ss_pred[tj][None, :],
+                                t.ss_conf[tj][None, :]]
+    return out
+
+
+def score_for_backtrace(q: HMM, t: HMM, align_score: float,
+                        i_steps, j_steps, states, ss_hmm_mode: int,
+                        ssw: float, ss_mode: int, corr: float,
+                        S73, S37, S33) -> Tuple[float, float, np.ndarray,
+                                                np.ndarray]:
+    """Viterbi::ScoreForBacktrace (hhviterbi.cpp:195-283).
+
+    Returns (score, score_ss, S, S_ss) with S/S_ss 1-based step arrays.
+    """
+    nsteps = len(i_steps) - 1
+    S = np.zeros(nsteps + 1, dtype=np.float32)
+    S_ss = np.zeros(nsteps + 1, dtype=np.float32)
+    mm = states[1:] == V.MM
+    steps = np.arange(1, nsteps + 1)
+    mi = np.asarray(i_steps)[1:][mm]
+    mj = np.asarray(j_steps)[1:][mm]
+    if len(mi):
+        S[steps[mm]] = fm.fast_log2(fm.scalar_prod20(q.p[mi], t.p[mj]))
+        if ss_hmm_mode != NO_SS_INFORMATION:
+            if ss_hmm_mode == PRED_DSSP:
+                sv = ssw * S37[q.ss_pred[mi], q.ss_conf[mi], t.ss_dssp[mj]]
+            elif ss_hmm_mode == DSSP_PRED:
+                sv = ssw * S73[q.ss_dssp[mi], t.ss_pred[mj], t.ss_conf[mj]]
+            else:
+                sv = ssw * S33[q.ss_pred[mi], q.ss_conf[mi],
+                               t.ss_pred[mj], t.ss_conf[mj]]
+            S_ss[steps[mm]] = sv
+    # sequential float32 accumulation of score_ss like the reference loop
+    score_ss = np.float32(0.0)
+    for v in S_ss[1:]:
+        score_ss = np.float32(score_ss + v)
+    score = np.float32(align_score)
+    if ss_mode == 2:  # Hit::SCORE_ALIGNMENT: subtract SS added in kernel
+        score = np.float32(score - score_ss)
+    # correlation term (hhviterbi.cpp:243-252)
+    scorr = np.float32(0.0)
+    if nsteps:
+        Sf = S
+        for lag in (1, 2, 3, 4):
+            for step in range(1 + lag, nsteps + 1):
+                scorr = np.float32(scorr + np.float32(Sf[step]
+                                                      * Sf[step - lag]))
+        score = np.float32(score + np.float32(corr) * scorr)
+    return float(score), float(score_ss), S, S_ss
+
+
+def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
+                   ss_matrices=None, batch_size: int = 32,
+                   self_names: Optional[set] = None) -> List[Hit]:
+    """Align query against prepared template HMMs, with the altali loop.
+
+    ``templates``: list of (entry_name, prepared HMM).  Returns all hits
+    (irep 1..altali) exactly like ViterbiRunner::alignment.
+    """
+    if ss_matrices is not None:
+        S73, S37, S33 = (ss_matrices.S73, ss_matrices.S37, ss_matrices.S33)
+    else:
+        S73 = S37 = S33 = None
+
+    smin = par.smin
+    hits: List[Hit] = []
+    # per-template accumulated exclusion paths
+    exclude: Dict[int, List[Tuple[np.ndarray, np.ndarray]]] = {}
+
+    alive = list(range(len(templates)))
+    tmpl_list = [t for _, t in templates]
+
+    for alignment in range(par.altali):
+        if not alive:
+            break
+        # sort by length desc (reference sorts for thread utilization;
+        # here it makes padded batches tight)
+        alive.sort(key=lambda idx: -tmpl_list[idx].L)
+        next_alive: List[int] = []
+        for bstart in range(0, len(alive), batch_size):
+            idxs = alive[bstart: bstart + batch_size]
+            batch = [tmpl_list[i] for i in idxs]
+            Lt_max = max(t.L for t in batch)
+            tp, ttr, t_L = pack_templates(batch, Lt_max)
+            ss_hmm_mode = compute_ss_hmm_mode(q, batch) \
+                if par.ssm == 2 else NO_SS_INFORMATION
+
+            Lq = q.L
+            cell_off = np.zeros((len(batch), Lq + 1, Lt_max + 1),
+                                dtype=bool)
+            any_co = False
+            for b, i in enumerate(idxs):
+                for (pi, pj) in exclude.get(i, []):
+                    V.exclude_alignment_mask(cell_off[b], pi, pj,
+                                             Lq, tmpl_list[i].L)
+                    any_co = True
+
+            ss_batch = None
+            if ss_hmm_mode != NO_SS_INFORMATION:
+                ss_batch = np.zeros((len(batch), Lq + 1, Lt_max + 1),
+                                    dtype=np.float32)
+                for b, t in enumerate(batch):
+                    m = build_ss_score(q, t, ss_hmm_mode, par.ssw,
+                                       S73, S37, S33)
+                    ss_batch[b, :, : t.L + 1] = m
+
+            score, i2, j2, bt = V.viterbi_batch(
+                q.p.astype(np.float32), q.tr.astype(np.float32),
+                tp, ttr, cell_off, t_L,
+                float(par.shift), 0.0, float(par.egq), float(par.egt),
+                ss_score=ss_batch, local=bool(par.loc))
+            score = np.asarray(score)
+            i2 = np.asarray(i2)
+            j2 = np.asarray(j2)
+            bt = np.asarray(bt)
+
+            for b, tid in enumerate(idxs):
+                t = batch[b]
+                i_steps, j_steps, states, matched_cols = V.backtrace(
+                    bt[b], int(i2[b]), int(j2[b]))
+                sc, sc_ss, S, S_ss = score_for_backtrace(
+                    q, t, float(score[b]), i_steps, j_steps, states,
+                    ss_hmm_mode, par.ssw, par.ssm, par.corr, S73, S37, S33)
+                hit = Hit()
+                hit.init_from_hmm(q, t, par.nseqdis, par.ssm)
+                hit.entry = templates[tid][0]
+                hit.file = t.file
+                hit.lastrep = 1 if sc <= smin else 0
+                hit.score = sc
+                hit.score_ss = sc_ss
+                hit.score_aass = -sc
+                hit.S = S
+                hit.S_ss = S_ss
+                hit.i = i_steps
+                hit.j = j_steps
+                hit.states = states
+                hit.nsteps = len(i_steps) - 1
+                hit.matched_cols = matched_cols
+                hit.i1 = int(i_steps[-1])
+                hit.j1 = int(j_steps[-1])
+                hit.i2 = int(i2[b])
+                hit.j2 = int(j2[b])
+                hit.irep = alignment + 1
+                hit.ssm2 = 1 if ss_hmm_mode != NO_SS_INFORMATION else 0
+                hits.append(hit)
+
+                if sc > smin:
+                    next_alive.append(tid)
+                    exclude.setdefault(tid, []).append(
+                        (i_steps.copy(), j_steps.copy()))
+        alive = next_alive
+    return hits
