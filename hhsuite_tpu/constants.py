@@ -225,6 +225,23 @@ class Parameters:
     threads: int = 2
     interim_filter: int = 1
 
+    @classmethod
+    def hhalign_defaults(cls, **kw) -> "Parameters":
+        """HHalign::ProcessAllArguments overrides (hhalign.cpp:205-241)."""
+        return cls(p=0.0, E=1e6, b=1, B=100, z=1, Z=100, altali=1,
+                   realign=1, **kw)
+
+    @classmethod
+    def hhsearch_defaults(cls, **kw) -> "Parameters":
+        """HHsearch::ProcessAllArguments (hhsearch.cpp:19-26)."""
+        return cls(prefilter=False, num_rounds=1, **kw)
+
+    @classmethod
+    def hhblits_defaults(cls, **kw) -> "Parameters":
+        """HHblits::ProcessAllArguments (hhblits.cpp:80-186)."""
+        return cls(prefilter=True, early_stopping_filter=True,
+                   filter_thresh=0.01, Ndiff=1000, **kw)
+
     infile: str = ""
     outfile: str = ""
     scorefile: str = ""
