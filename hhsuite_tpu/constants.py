@@ -197,6 +197,14 @@ class Parameters:
     alphab: float = 0.02
     alphac: float = 0.1
 
+    # db-alignment filter thresholds (mirrors of the plain ones,
+    # hhdecl.cpp:129-135)
+    max_seqid_db: int = 90
+    qid_db: int = 0
+    qsc_db: float = -20.0
+    coverage_db: int = 0
+    Ndiff_db: int = 100
+
     prefilter: bool = False
     early_stopping_filter: bool = False
     filter_thresh: float = 0.0

@@ -1,0 +1,154 @@
+"""Two-stage cs219 prefilter (host orchestration around device kernels).
+
+Parity target: Prefilter (src/hhprefilter.cpp:28-606): the AS219 query
+score table (stripe_query_profile, :356-424 — destriped to a logical
+(220, Lq) table), stage-1 ungapped funnel with the min-hit floor, stage-2
+gapped SW with E-value thresholds, and the exact sort/tie orders of the
+reference's funnel cuts.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .. import fastmath as fm
+from ..constants import Parameters
+from ..core.hmm import HMM
+from ..cs.context_lib import AS219_SIZE, ContextLibrary
+from ..ops import prefilter as ops
+
+
+def build_query_profile(q_tmp: HMM, lib: ContextLibrary,
+                        score_offset: int = 50,
+                        bit_factor: int = 4) -> np.ndarray:
+    """(220, Lq) uint8 query score table (hhprefilter.cpp:356-424).
+
+    Row k < 219: clamp(flog2(sum_a p[i][a] lib_k[a] / pav[a]) * bit_factor
+    + offset + 0.5); row 219 (ANY): offset - 1.
+
+    Note the reference's off-by-one: it reads q_tmp->p[i] for i in 0..L-1
+    (row 0 is the background-filled begin state) rather than 1..L; we
+    reproduce that exactly.
+    """
+    LQ = q_tmp.L
+    # S[i,k] = sum_a p[i][a] * lib[k][a] / pav[a],  i = 0..LQ-1 (sic)
+    p = q_tmp.p[0:LQ].astype(np.float32)
+    ratios = (lib.probs[:, 0, :].astype(np.float32)
+              / q_tmp.pav[None, :].astype(np.float32))
+    S = p @ ratios.T                                    # (LQ, 219) f32
+    vals = fm.flog2(S.astype(np.float32)) * np.float32(bit_factor) \
+        + np.float32(score_offset) + np.float32(0.5)
+    qc = np.empty((AS219_SIZE + 1, LQ), dtype=np.uint8)
+    # (unsigned char) cast truncates; clamp range first (:392-399)
+    q8 = np.where(vals > 255.0, 255,
+                  np.where(vals < 0, 0,
+                           vals.astype(np.int32)))
+    qc[:AS219_SIZE] = q8.T.astype(np.uint8)
+    qc[AS219_SIZE] = score_offset - 1
+    return qc
+
+
+def pack_db(seqs: List[bytes], Ld_max: int) -> Tuple[np.ndarray, np.ndarray]:
+    B = len(seqs)
+    db = np.full((B, Ld_max), AS219_SIZE, dtype=np.int32)
+    ln = np.zeros(B, dtype=np.int32)
+    for b, s in enumerate(seqs):
+        arr = np.frombuffer(s, dtype=np.uint8)
+        db[b, : len(arr)] = arr
+        ln[b] = len(arr)
+    return db, ln
+
+
+def _bucketed(scores_fn, qc, seqs, *args):
+    """Run a kernel over length buckets, returning (N,) scores."""
+    order = np.argsort([len(s) for s in seqs], kind="stable")
+    out = np.zeros(len(seqs), dtype=np.int32)
+    bucket = 2048
+    i = 0
+    while i < len(order):
+        idx = order[i: i + bucket]
+        group = [seqs[j] for j in idx]
+        Ld_max = max(1, max(len(s) for s in group))
+        db, ln = pack_db(group, Ld_max)
+        sc = np.asarray(scores_fn(qc, db, ln, *args))
+        out[idx] = sc
+        i += bucket
+    return out
+
+
+def prefilter_db(par: Parameters, q_tmp: HMM, lib: ContextLibrary,
+                 names: List[str], seqs: List[bytes],
+                 previous_hit_names: Optional[set] = None
+                 ) -> Tuple[List[Tuple[int, str]], List[Tuple[int, str]]]:
+    """Prefilter::prefilter_db (hhprefilter.cpp:430-606).
+
+    Returns (new_hits, old_hits) as (length, name) pairs in funnel order.
+    """
+    previous_hit_names = previous_hit_names or set()
+    qc = build_query_profile(q_tmp, lib, par.prefilter_score_offset,
+                             par.prefilter_bit_factor).astype(np.int32)
+    LQ = q_tmp.L
+    num_dbs = len(seqs)
+    log_qlen = float(fm.flog2(np.float32(LQ)))
+    factor = float(num_dbs) * LQ
+
+    # ---- stage 1: ungapped ----
+    raw1 = _bucketed(ops.ungapped_scores, qc, seqs,
+                     np.int32(par.prefilter_score_offset))
+    lens = np.array([len(s) for s in seqs])
+    corr = (par.prefilter_bit_factor
+            * (log_qlen + fm.flog2(lens.astype(np.float32)))).astype(int)
+    score1 = raw1 - corr
+    # sort desc by (score, index) — reference sorts pairs ascending then
+    # reverses (hhprefilter.cpp:487-489): ties broken by larger index
+    order = sorted(range(num_dbs), key=lambda n: (score1[n], n),
+                   reverse=True)
+    survivors = []
+    for cnt, n in enumerate(order):
+        if cnt >= par.min_prefilter_hits \
+                and score1[n] <= par.preprefilter_smax_thresh:
+            break
+        survivors.append(n)
+
+    # ---- stage 2: gapped SW ----
+    gap_init = par.prefilter_gap_open + par.prefilter_gap_extend
+    sub_seqs = [seqs[n] for n in survivors]
+    raw2 = _bucketed(ops.gapped_scores, qc, sub_seqs,
+                     np.int32(gap_init),
+                     np.int32(par.prefilter_gap_extend),
+                     np.int32(par.prefilter_score_offset))
+    evalues = []
+    for pos, n in enumerate(survivors):
+        ev = factor * lens[n] * float(fm.fpow2(
+            np.float32(-raw2[pos] / par.prefilter_bit_factor)))
+        if ev < par.prefilter_evalue_coarse_thresh:
+            evalues.append((ev, n))
+    evalues.sort(key=lambda t: (t[0], t[1]))
+
+    kept = []
+    for cnt, (ev, n) in enumerate(evalues):
+        if cnt >= par.min_prefilter_hits \
+                and ev > par.prefilter_evalue_thresh:
+            break
+        kept.append(n)
+
+    new_hits, old_hits = [], []
+    seen = set()
+    count = 0
+    for n in kept:
+        name = names[n]
+        if name in seen:
+            continue
+        seen.add(name)
+        count += 1
+        base = name.rsplit(".", 1)[0] if "." in name else name
+        pair = (int(lens[n]), name)
+        if f"{base}__1" in previous_hit_names:
+            old_hits.append(pair)
+        else:
+            new_hits.append(pair)
+        if count >= par.maxnumdb:
+            break
+    return new_hits, old_hits
