@@ -25,7 +25,8 @@ class HMM:
     """A profile HMM over internal aa order (A R N D C Q E G H I L K M F P
     S T W Y V)."""
 
-    def __init__(self, L: int = 0):
+    def __init__(self, L: int = 0, maxseqdis: int = 10238):
+        self.maxseqdis = maxseqdis
         self.alloc(L)
         self.name = ""
         self.longname = ""

@@ -427,10 +427,12 @@ def _copy_display(ali: Alignment, q: HMM, mark, cons, showcons, pb, Sim):
             seq.append("-" + "".join(chars_first))
 
     kfirst_eff = -1 if cons else ali.kfirst
+    maxseqdis = getattr(q, "maxseqdis", 10238)
     for k in range(ali.N_in):
         if not ali.display[k]:
             continue
-        if len(sname) >= 10238:
+        if n >= maxseqdis:
+            # reference caps at q->maxseqdis (hhalignment.cpp:2296-2301)
             break
         if k == ali.kss_dssp:
             nn = q.nss_dssp

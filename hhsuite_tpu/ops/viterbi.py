@@ -14,6 +14,11 @@ TPU-native form:
   reference's loop — no reassociation, bit-stable modulo the einsum's dot
   reduction order.
 
+All d-indexed operands (match scores, cell-off, template transitions at
+j = d - i) are pre-skewed into (D, ...) diagonal layout with one gather
+outside the scan and streamed as scan inputs, so the scan body is pure
+element-wise VPU work + static shifts — no per-step gathers.
+
 Outputs per lane: best score / end cell (i2, j2) (strictly-greater update =
 row-major tie-break, src/hhviterbialgorithm.cpp:423-455) and the packed
 backtrace byte matrix (bits 0-2: MM predecessor code, bit3/4/5/6: GD/IM/
@@ -29,10 +34,7 @@ import numpy as np
 
 FLT_MAX = float(np.finfo(np.float32).max)
 
-# transition column indices (constants.M2M etc. duplicated here to keep the
-# kernel importable without package context when jitted standalone)
 M2M, M2I, M2D, I2M, I2I, D2M, D2D = range(7)
-
 STOP, MM, GD, IM, DG, MI = 0, 2, 3, 4, 5, 6
 
 
@@ -57,6 +59,37 @@ def _log2f4(x):
     return p * (m - 1.0) + e
 
 
+def _skew_bij(x, Lq, Lt, fill):
+    """(B, Lq+1, Lt+1) -> (D, B, Wi) with out[d-2, b, i] = x[b, i, d-i]
+    for d = 2..Lq+Lt (one gather, outside the scan)."""
+    import jax.numpy as jnp
+
+    D = Lq + Lt - 1
+    Wi = Lq + 1
+    dvals = jnp.arange(2, Lq + Lt + 1)
+    ii = jnp.arange(Wi)
+    jj = dvals[:, None] - ii[None, :]                 # (D, Wi)
+    valid = (jj >= 1) & (jj <= Lt) & (ii[None, :] >= 1)
+    jc = jnp.clip(jj, 0, Lt)
+    g = x[:, ii[None, :].repeat(D, 0), jc]            # (B, D, Wi)
+    g = jnp.where(valid[None], g.reshape(x.shape[0], D, Wi), fill)
+    return jnp.transpose(g, (1, 0, 2))                # (D, B, Wi)
+
+
+def _skew_tr(ttr_c, Lq, Lt, off):
+    """(B, Lt+2) transition column -> (D, B, Wi) at index j = d - i + off
+    (clipped; padded cols already hold -FLT_MAX)."""
+    import jax.numpy as jnp
+
+    D = Lq + Lt - 1
+    Wi = Lq + 1
+    dvals = jnp.arange(2, Lq + Lt + 1)
+    ii = jnp.arange(Wi)
+    jj = jnp.clip(dvals[:, None] - ii[None, :] + off, 0, Lt + 1)
+    g = ttr_c[:, jj]                                  # (B, D, Wi)
+    return jnp.transpose(g, (1, 0, 2))
+
+
 @functools.partial(
     __import__("jax").jit,
     static_argnames=("local", "need_bt"))
@@ -77,7 +110,7 @@ def viterbi_batch(qp, qtr, tp, ttr, cell_off, t_L,
       ss_score: optional (B, Lq+1, Lt+1) f32 secondary-structure score to
         add to the match score (already weighted by ssw)
       local: Smith-Waterman vs global
-    Returns ViterbiResult.
+    Returns (score, i2, j2, bt).
     """
     import jax
     import jax.numpy as jnp
@@ -86,6 +119,8 @@ def viterbi_batch(qp, qtr, tp, ttr, cell_off, t_L,
     Lq = qp.shape[0] - 2
     Lt = tp.shape[1] - 2
     B = tp.shape[0]
+    Wi = Lq + 1
+    D = Lq + Lt - 1
     f32 = jnp.float32
     NEG = f32(-FLT_MAX)
 
@@ -95,89 +130,63 @@ def viterbi_batch(qp, qtr, tp, ttr, cell_off, t_L,
     Si = _log2f4(dot) + f32(shift)
     if ss_score is not None:
         Si = Si + ss_score[:, 1:, 1:]
-    # pad to (B, Lq+1, Lt+1) with index 0 row/col unused
     Si = jnp.pad(Si, ((0, 0), (1, 0), (1, 0)))
 
-    co_add = jnp.where(cell_off, NEG, f32(0.0))        # (B, Lq+1, Lt+1)
+    co_add = jnp.where(cell_off, NEG, f32(0.0))
 
     smin = f32(0.0) if local else NEG
-
-    # Wavefront over anti-diagonals d = i + j, cells indexed by i (1..Lq).
-    # state arrays: (B, Lq+1) value of state at (i, d - i).
-    #   prev1 = diagonal d-1, prev2 = diagonal d-2
-    Wi = Lq + 1
-
-    iidx = jnp.arange(Wi)                               # i = 0..Lq
-    # boundary: sMM(i, 0) = -i * penalty_gap_query, others -FLT_MAX
-    # boundary: sMM(0, j) = -j * penalty_gap_template
     pq = f32(penalty_gap_query)
     pt = f32(penalty_gap_template)
+    iidx = jnp.arange(Wi)
 
-    # q transitions gathered once (per i, broadcast over batch)
-    q_m2m = qtr[:, M2M]
-    q_m2d = qtr[:, M2D]
-    q_d2m = qtr[:, D2M]
-    q_i2m = qtr[:, I2M]
-    q_m2i = qtr[:, M2I]
-    q_i2i = qtr[:, I2I]
-    q_d2d = qtr[:, D2D]
+    # ---- pre-skewed scan inputs ----
+    si_d = _skew_bij(Si, Lq, Lt, f32(0.0))            # (D, B, Wi)
+    co_d = _skew_bij(co_add, Lq, Lt, f32(0.0))
+    tm2m_1 = _skew_tr(ttr[:, :, M2M], Lq, Lt, -1)
+    td2m_1 = _skew_tr(ttr[:, :, D2M], Lq, Lt, -1)
+    ti2m_1 = _skew_tr(ttr[:, :, I2M], Lq, Lt, -1)
+    tm2d_1 = _skew_tr(ttr[:, :, M2D], Lq, Lt, -1)
+    td2d_1 = _skew_tr(ttr[:, :, D2D], Lq, Lt, -1)
+    tm2i_0 = _skew_tr(ttr[:, :, M2I], Lq, Lt, 0)
+    ti2i_0 = _skew_tr(ttr[:, :, I2I], Lq, Lt, 0)
 
-    def diag_gather(arr2d, d, off):
-        """arr2d (B, Lt+2); take arr2d[b, d - i + off] for i=0..Lq."""
-        j = d - iidx + off
-        j = jnp.clip(j, 0, Lt + 1)
-        return jnp.take_along_axis(arr2d, j[None, :], axis=1)
+    # query transitions by lane (constant across diagonals)
+    qm2m_1 = qtr[jnp.maximum(iidx - 1, 0), M2M][None, :]
+    qd2m_1 = qtr[jnp.maximum(iidx - 1, 0), D2M][None, :]
+    qi2m_1 = qtr[jnp.maximum(iidx - 1, 0), I2M][None, :]
+    qm2d_1 = qtr[jnp.maximum(iidx - 1, 0), M2D][None, :]
+    qd2d_1 = qtr[jnp.maximum(iidx - 1, 0), D2D][None, :]
+    qm2i_0 = qtr[iidx, M2I][None, :]
+    qi2i_0 = qtr[iidx, I2I][None, :]
 
-    def cell_gather(arr3d, d, ioff, joff):
-        """arr3d (B, Lq+1, Lt+1); take arr3d[b, i+ioff, d-i+joff]."""
-        j = d - iidx + joff
-        valid = (j >= 0) & (j <= Lt)
-        j = jnp.clip(j, 0, Lt)
-        ii = jnp.clip(iidx + ioff, 0, Lq)
-        v = arr3d[:, ii, :]
-        v = jnp.take_along_axis(v, j[None, :, None].repeat(B, 0),
-                                axis=2)[:, :, 0]
-        return v, valid
+    # per-diagonal masks / boundary rows, precomputed (D, Wi)
+    dvals = jnp.arange(2, Lq + Lt + 1)
+    jj = dvals[:, None] - iidx[None, :]
+    on_d = (iidx[None, :] >= 1) & (jj >= 1) & (jj <= Lt)
+    mm0_d = jnp.where(iidx[None, :] == 0, -jj.astype(f32) * pt,
+                      jnp.where(jj == 0, -iidx.astype(f32)[None, :] * pq,
+                                NEG))
+    mm0_d = jnp.where((jj < 0) | (jj > Lt), NEG, mm0_d)
 
     def state0(d):
-        """Fresh state arrays for diagonal d holding boundary values."""
         j = d - iidx
         mm = jnp.where(iidx == 0, -j.astype(f32) * pt,
                        jnp.where(j == 0, -iidx.astype(f32) * pq, NEG))
         mm = jnp.where((j < 0) | (j > Lt), NEG, mm)
         mm = jnp.broadcast_to(mm[None, :], (B, Wi))
         neg = jnp.full((B, Wi), NEG)
-        return mm, neg, neg, neg, neg   # MM, DG, MI, GD, IM
+        return mm, neg, neg, neg, neg
 
-    def step(carry, d):
+    def up(x):
+        return jnp.pad(x[:, :-1], ((0, 0), (1, 0)),
+                       constant_values=-FLT_MAX)
+
+    def step(carry, xs):
         (mm1, dg1, mi1, gd1, im1), (mm2, dg2, mi2, gd2, im2), \
             best, best_i, best_j = carry
-
-        j = d - iidx                        # (Wi,) template index per lane
-        on = (iidx >= 1) & (j >= 1) & (j <= Lt)
-
-        # gather transitions at j-1 / j
-        tm2m_1 = diag_gather(ttr[:, :, M2M], d, -1)
-        td2m_1 = diag_gather(ttr[:, :, D2M], d, -1)
-        ti2m_1 = diag_gather(ttr[:, :, I2M], d, -1)
-        tm2d_1 = diag_gather(ttr[:, :, M2D], d, -1)
-        td2d_1 = diag_gather(ttr[:, :, D2D], d, -1)
-        tm2i_0 = diag_gather(ttr[:, :, M2I], d, 0)
-        ti2i_0 = diag_gather(ttr[:, :, I2I], d, 0)
-
-        qm2m_1 = q_m2m[jnp.maximum(iidx - 1, 0)][None, :]
-        qd2m_1 = q_d2m[jnp.maximum(iidx - 1, 0)][None, :]
-        qi2m_1 = q_i2m[jnp.maximum(iidx - 1, 0)][None, :]
-        qm2d_1 = q_m2d[jnp.maximum(iidx - 1, 0)][None, :]
-        qd2d_1 = q_d2d[jnp.maximum(iidx - 1, 0)][None, :]
-        qm2i_0 = q_m2i[iidx][None, :]
-        qi2i_0 = q_i2i[iidx][None, :]
-
-        # shift helper: value at (i-1, j-1) lives at lane i-1 of diag d-2;
-        # (i-1, j) at lane i-1 of diag d-1; (i, j-1) at lane i of diag d-1.
-        def up(x):       # lane i -> lane i-1   (previous row)
-            return jnp.pad(x[:, :-1], ((0, 0), (1, 0)),
-                           constant_values=-FLT_MAX)
+        (d, si, co, tm2m1, td2m1, ti2m1, tm2d1, td2d1, tm2i0, ti2i0,
+         on, mm0row) = xs
+        on_b = on[None, :]
 
         mm_diag = up(mm2)
         gd_diag = up(gd2)
@@ -185,28 +194,23 @@ def viterbi_batch(qp, qtr, tp, ttr, cell_off, t_L,
         dg_diag = up(dg2)
         mi_diag = up(mi2)
 
-        # MM update (order + strict > exactly as the kernel)
-        c_mm = mm_diag + qm2m_1 + tm2m_1
+        c_mm = mm_diag + qm2m_1 + tm2m1
         best5 = jnp.maximum(smin, c_mm)
         code = jnp.where(c_mm > smin, MM, STOP).astype(jnp.int32)
-        c_gd = gd_diag + qm2m_1 + td2m_1
+        c_gd = gd_diag + qm2m_1 + td2m1
         code = jnp.where(c_gd > best5, GD, code)
         best5 = jnp.maximum(best5, c_gd)
-        c_im = im_diag + qi2m_1 + tm2m_1
+        c_im = im_diag + qi2m_1 + tm2m1
         code = jnp.where(c_im > best5, IM, code)
         best5 = jnp.maximum(best5, c_im)
-        c_dg = dg_diag + qd2m_1 + tm2m_1
+        c_dg = dg_diag + qd2m_1 + tm2m1
         code = jnp.where(c_dg > best5, DG, code)
         best5 = jnp.maximum(best5, c_dg)
-        c_mi = mi_diag + qm2m_1 + ti2m_1
+        c_mi = mi_diag + qm2m_1 + ti2m1
         code = jnp.where(c_mi > best5, MI, code)
         best5 = jnp.maximum(best5, c_mi)
-
-        si, _ = cell_gather(Si, d, 0, 0)
-        co, _ = cell_gather(co_add, d, 0, 0)
         mm_new = best5 + si + co
 
-        # DG / MI from previous row (diag d-1, lane i-1)
         mm_up = up(mm1)
         dg_up = up(dg1)
         mi_up = up(mi1)
@@ -214,44 +218,42 @@ def viterbi_batch(qp, qtr, tp, ttr, cell_off, t_L,
         b_dg = dg_up + qd2d_1
         bit_dg = a_dg > b_dg
         dg_new = jnp.maximum(a_dg, b_dg) + co
-        a_mi = mm_up + qm2m_1 + tm2i_0
-        b_mi = mi_up + qm2m_1 + ti2i_0
+        a_mi = mm_up + qm2m_1 + tm2i0
+        b_mi = mi_up + qm2m_1 + ti2i0
         bit_mi = a_mi > b_mi
         mi_new = jnp.maximum(a_mi, b_mi) + co
 
-        # GD / IM from previous column (diag d-1, lane i)
-        a_gd = mm1 + tm2d_1
-        b_gd = gd1 + td2d_1
+        a_gd = mm1 + tm2d1
+        b_gd = gd1 + td2d1
         bit_gd = a_gd > b_gd
         gd_new = jnp.maximum(a_gd, b_gd) + co
-        a_im = mm1 + qm2i_0 + tm2m_1
-        b_im = im1 + qi2i_0 + tm2m_1
+        a_im = mm1 + qm2i_0 + tm2m1
+        b_im = im1 + qi2i_0 + tm2m1
         bit_im = a_im > b_im
         im_new = jnp.maximum(a_im, b_im) + co
 
-        # boundary values for cells outside the valid band of this diagonal
-        mm0, dg0, mi0, gd0, im0 = state0(d)
-        mm_new = jnp.where(on[None, :], mm_new, mm0)
-        dg_new = jnp.where(on[None, :], dg_new, dg0)
-        mi_new = jnp.where(on[None, :], mi_new, mi0)
-        gd_new = jnp.where(on[None, :], gd_new, gd0)
-        im_new = jnp.where(on[None, :], im_new, im0)
+        mm0 = jnp.broadcast_to(mm0row[None, :], (B, Wi))
+        negrow = jnp.full((B, Wi), NEG)
+        mm_new = jnp.where(on_b, mm_new, mm0)
+        dg_new = jnp.where(on_b, dg_new, negrow)
+        mi_new = jnp.where(on_b, mi_new, negrow)
+        gd_new = jnp.where(on_b, gd_new, negrow)
+        im_new = jnp.where(on_b, im_new, negrow)
 
         byte = (code
                 | jnp.where(bit_gd, 8, 0)
                 | jnp.where(bit_im, 16, 0)
                 | jnp.where(bit_dg, 32, 0)
                 | jnp.where(bit_mi, 64, 0)).astype(jnp.uint8)
-        byte = jnp.where(on[None, :], byte, jnp.uint8(0))
+        byte = jnp.where(on_b, byte, jnp.uint8(0))
 
-        # ---- best-score tracking (row-major tie-break) ----
         if local:
-            cand_on = on[None, :]
+            cand_on = on_b
         else:
-            cand_on = on[None, :] & ((j[None, :] == Lt)
-                                     | (iidx[None, :] == Lq))
+            j_of = d - iidx
+            cand_on = on_b & ((j_of[None, :] == Lt)
+                              | (iidx[None, :] == Lq))
         cand = jnp.where(cand_on, mm_new, NEG)
-        # within a diagonal, i ascending = row-major; first max wins
         k = jnp.argmax(cand, axis=1)
         cand_s = jnp.take_along_axis(cand, k[:, None], axis=1)[:, 0]
         cand_i = k.astype(jnp.int32)
@@ -264,29 +266,26 @@ def viterbi_batch(qp, qtr, tp, ttr, cell_off, t_L,
         new_carry = ((mm_new, dg_new, mi_new, gd_new, im_new),
                      (mm1, dg1, mi1, gd1, im1),
                      best, best_i, best_j)
-        return new_carry, byte if need_bt else jnp.uint8(0)
+        return new_carry, byte if need_bt else None
 
     init = (state0(1), state0(0),
             jnp.full((B,), NEG), jnp.zeros((B,), jnp.int32),
             jnp.zeros((B,), jnp.int32))
-    ds = jnp.arange(2, Lq + Lt + 1)
-    carry, bytes_by_diag = lax.scan(step, init, ds)
+    xs = (dvals, si_d, co_d, tm2m_1, td2m_1, ti2m_1, tm2d_1, td2d_1,
+          tm2i_0, ti2i_0, on_d, mm0_d)
+    carry, bytes_by_diag = lax.scan(step, init, xs)
     _, _, best, best_i, best_j = carry
 
     if need_bt:
-        # scatter diagonals back into (B, Lq+1, Lt+1)
-        # bytes_by_diag: (D, B, Wi) with D = Lq+Lt-1, lane i, j = d - i
-        D = Lq + Lt - 1
-        dvals = np.arange(2, Lq + Lt + 1)
-        bt = jnp.zeros((B, Lq + 1, Lt + 1), dtype=jnp.uint8)
-        jj = dvals[:, None] - np.arange(Wi)[None, :]        # (D, Wi)
-        valid = (jj >= 1) & (jj <= Lt) & (np.arange(Wi)[None, :] >= 1)
-        jj_c = np.clip(jj, 0, Lt)
-        ii = np.broadcast_to(np.arange(Wi)[None, :], jj.shape)
-        flat_idx = ii * (Lt + 1) + jj_c                     # (D, Wi)
+        # de-skew diagonals back into (B, Lq+1, Lt+1) with one scatter
+        jjn = np.arange(2, Lq + Lt + 1)[:, None] - np.arange(Wi)[None, :]
+        valid = (jjn >= 1) & (jjn <= Lt) & (np.arange(Wi)[None, :] >= 1)
+        jc = np.clip(jjn, 0, Lt)
+        flat_idx = (np.broadcast_to(np.arange(Wi)[None, :], jjn.shape)
+                    * (Lt + 1) + jc)
         vals = jnp.where(jnp.asarray(valid)[None, :, :],
                          bytes_by_diag.transpose(1, 0, 2),
-                         jnp.uint8(0))                      # (B, D, Wi)
+                         jnp.uint8(0))
         bt_flat = jnp.zeros((B, (Lq + 1) * (Lt + 1)), dtype=jnp.uint8)
         fi = jnp.asarray(flat_idx.reshape(-1))
         bt_flat = bt_flat.at[:, fi].max(vals.reshape(B, -1))

@@ -21,7 +21,8 @@ from ..matrices import SubstitutionMatrix
 
 def read_query_text(par: Parameters, text: str, infile: str,
                     mats: SubstitutionMatrix,
-                    use_global_weights: Optional[int] = None
+                    use_global_weights: Optional[int] = None,
+                    maxseqdis: int = 10238
                     ) -> Tuple[HMM, Alignment, int]:
     """Sniff format and build the query HMM (hhfunc.cpp:11-95).
 
@@ -45,7 +46,7 @@ def read_query_text(par: Parameters, text: str, infile: str,
                                par.qid, par.qsc, par.nseqdis)
         ali.N_filtered = ali.filter(par.max_seqid, mats.S, par.coverage,
                                     par.qid, par.qsc, par.Ndiff)
-        q = HMM()
+        q = HMM(maxseqdis=maxseqdis)
         frequencies_and_transitions(ali, q, use_global_weights, par.mark,
                                     par.cons, par.showcons, mats.pb, mats.Sim)
         return q, ali, 0

@@ -1,0 +1,62 @@
+"""DB-build tool pipeline vs reference outputs (data/test.sh:20-33):
+hhconsensus -> hhfilter -> hhmake, each compared against the ffindex
+entries produced by the reference binaries."""
+
+import os
+
+import pytest
+
+from hhsuite_tpu.apps import hhconsensus, hhfilter, hhmake
+from hhsuite_tpu.io.ffindex import FFindexDatabase
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+@pytest.fixture(scope="module")
+def query():
+    with open(f"{FIX}/query.a3m") as f:
+        return f.read()
+
+
+def test_hhconsensus_byte_identical(query):
+    db = FFindexDatabase(f"{FIX}/single_a3m_cons.ffdata",
+                         f"{FIX}/single_a3m_cons.ffindex")
+    want = db.read_text(db.entries[0].name)
+    cons_fa, a3m = hhconsensus(query, "stdin")
+    assert a3m == want
+    assert cons_fa.startswith(">sp|Q5VUD6|FA69B_HUMAN")
+
+
+def test_hhfilter_byte_identical(query):
+    cons = FFindexDatabase(f"{FIX}/single_a3m_cons.ffdata",
+                           f"{FIX}/single_a3m_cons.ffindex")
+    a3m = FFindexDatabase(f"{FIX}/single_a3m.ffdata",
+                          f"{FIX}/single_a3m.ffindex")
+    got = hhfilter(cons.read_text(cons.entries[0].name), "stdin",
+                   Ndiff=1000)
+    assert got == a3m.read_text(a3m.entries[0].name)
+
+
+def test_hhmake_pipeline(query):
+    a3m = FFindexDatabase(f"{FIX}/single_a3m.ffdata",
+                          f"{FIX}/single_a3m.ffindex")
+    hhm = FFindexDatabase(f"{FIX}/single_hhm.ffdata",
+                          f"{FIX}/single_hhm.ffindex")
+    got = hhmake(a3m.read_text(a3m.entries[0].name), "stdin", datestr="X")
+    want = hhm.read_text(hhm.entries[0].name)
+    gl = [l for l in got.splitlines() if not l.startswith(("COM", "DATE"))]
+    wl = [l for l in want.splitlines() if not l.startswith(("COM", "DATE"))]
+    assert len(gl) == len(wl)
+    exact = 0
+    for g, w in zip(gl, wl):
+        if g == w:
+            exact += 1
+            continue
+        gt, wt = g.split(), w.split()
+        assert len(gt) == len(wt), (g, w)
+        for a, b in zip(gt, wt):
+            if a == b:
+                continue
+            assert a != "*" and b != "*", (g, w)
+            assert abs(int(a) - int(b)) <= 1, (g, w)
+    assert exact / len(wl) > 0.95
