@@ -1,0 +1,306 @@
+"""Console entry points for the tool suite.
+
+Usage:  python -m hhsuite_tpu <tool> [options]
+Tools:  hhblits hhsearch hhalign hhmake hhfilter hhconsensus cstranslate
+        ffindex_build ffindex_get ffindex_apply
+
+Output-file wiring mirrors the reference apps (src/hhblits_app.cpp:12-79,
+writers src/hhblits.cpp:1816-1982).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import List, Optional
+
+from ..constants import Parameters
+from .args import parse_args
+
+
+def _read_infile(par) -> str:
+    if par.infile in ("", "stdin"):
+        return sys.stdin.read()
+    with open(par.infile) as f:
+        return f.read()
+
+
+def _write(path: str, text: str, append: int = 0):
+    if path == "stdout":
+        sys.stdout.write(text)
+    else:
+        with open(path, "a" if append else "w") as f:
+            f.write(text)
+
+
+def _search_outputs(par, q, q_tmp, hitlist, qali, mats):
+    """Write all requested output files (hhblits.cpp:1816-1982)."""
+    from ..apps import write_alignment_a3m, write_alignment_psi
+    from ..io.alignments import print_alignments
+    from ..io.hhm import write_hhm
+    from ..io.results import print_hit_list, print_m8, print_score_file
+
+    argv = par.argv or []
+    if par.outfile:
+        out = print_hit_list(q_tmp or q, hitlist, par.maxdbstrlen, par.z,
+                             par.Z, par.p, par.E, argv)
+        out += print_alignments(q_tmp or q, hitlist, par, mats.S)
+        _write(par.outfile, out)
+    if par.m8file:
+        _write(par.m8file, print_m8(q, hitlist, par.nseqdis, par.p, par.E))
+    if par.scorefile:
+        _write(par.scorefile, print_score_file(q, hitlist))
+    if par.alnfile and qali is not None:
+        _write(par.alnfile, write_alignment_a3m(qali), par.append)
+    if par.psifile and qali is not None:
+        _write(par.psifile, write_alignment_psi(qali), par.append)
+    if par.hhmfile:
+        q.add_amino_acid_pseudocounts(0, 0.0, 0.0, 1.0)
+        q.calculate_aa_background(mats.pb)
+        _write(par.hhmfile,
+               write_hhm(q, mats.pb, par.max_seqid, par.coverage, par.qid,
+                         par.Ndiff, par.qsc, argv), par.append)
+
+
+def cmd_hhblits(argv: List[str]) -> int:
+    from ..matrices import get_substitution_matrix
+    from ..search.engine import HHDatabase
+    from ..search.hhblits import run_hhblits
+
+    par = Parameters.hhblits_defaults()
+    parse_args(argv, par)
+    if not par.infile or not par.db_bases:
+        print("hhblits -i <query a3m/hhm> -d <db basename> "
+              "[-o out.hhr] [-blasttab f] [-oa3m f] [-n rounds] ...",
+              file=sys.stderr)
+        return 4
+    db = HHDatabase(par.db_bases[0])
+    text = _read_infile(par)
+    q, hitlist, qali = run_hhblits(par, text, db, par.infile)
+    mats = get_substitution_matrix(par.matrix)
+    if not par.outfile and not par.m8file and not par.scorefile:
+        par.outfile = "stdout"
+    _search_outputs(par, q, None, hitlist, qali, mats)
+    return 0
+
+
+def cmd_hhsearch(argv: List[str]) -> int:
+    from ..matrices import get_substitution_matrix
+    from ..search.engine import HHDatabase, run_hhsearch
+
+    par = Parameters.hhsearch_defaults()
+    parse_args(argv, par)
+    if not par.infile or not par.db_bases:
+        print("hhsearch -i <query> -d <db basename> [-o out.hhr] ...",
+              file=sys.stderr)
+        return 4
+    db = HHDatabase(par.db_bases[0])
+    text = _read_infile(par)
+    q, hitlist = run_hhsearch(par, text, db, par.infile)
+    mats = get_substitution_matrix(par.matrix)
+    if not par.outfile and not par.m8file and not par.scorefile:
+        par.outfile = "stdout"
+    _search_outputs(par, q, None, hitlist, None, mats)
+    return 0
+
+
+def cmd_hhalign(argv: List[str]) -> int:
+    from ..matrices import get_substitution_matrix
+    from ..search.engine import run_hhalign
+
+    par = Parameters.hhalign_defaults()
+    parse_args(argv, par)
+    if not par.infile or not par.tfiles:
+        print("hhalign -i <query> -t <template> [-o out.hhr] ...",
+              file=sys.stderr)
+        return 4
+    text = _read_infile(par)
+    templates = []
+    for tf in par.tfiles:
+        with open(tf) as f:
+            templates.append((tf, f.read()))
+    q, hitlist = run_hhalign(par, text, templates, par.infile)
+    mats = get_substitution_matrix(par.matrix)
+    if not par.outfile and not par.m8file:
+        par.outfile = "stdout"
+    _search_outputs(par, q, None, hitlist, None, mats)
+    return 0
+
+
+def cmd_hhmake(argv: List[str]) -> int:
+    from ..apps import hhmake
+
+    par = Parameters()
+    par.nseqdis = 10
+    par.gapb = 0.0
+    par.nocontxt = True   # context data optional; see cs/ docs
+    parse_args(argv, par)
+    if not par.infile:
+        print("hhmake -i <msa> [-o out.hhm]", file=sys.stderr)
+        return 4
+    if not par.outfile:
+        base = par.infile.rsplit(".", 1)[0]
+        par.outfile = base + ".hhm" if par.infile != "stdin" else "stdout"
+    text = _read_infile(par)
+    out = hhmake(text, par.infile, par, argv=["hhmake"] + list(argv))
+    _write(par.outfile, out, par.append)
+    return 0
+
+
+def cmd_hhfilter(argv: List[str]) -> int:
+    from ..apps import hhfilter
+
+    par = Parameters()
+    par.nseqdis = par.maxseq - 1
+    par.Ndiff = 0
+    parse_args(argv, par)
+    if not par.infile or not par.outfile:
+        print("hhfilter -i <in.a3m> -o <out.a3m> [-id N] [-diff N] ...",
+              file=sys.stderr)
+        return 4
+    text = _read_infile(par)
+    _write(par.outfile, hhfilter(text, par.infile, par), par.append)
+    return 0
+
+
+def cmd_hhconsensus(argv: List[str]) -> int:
+    from ..apps import hhconsensus
+
+    par = Parameters()
+    par.nseqdis = par.maxseq - 1
+    par.showcons = 0
+    par.cons = 1
+    par.Ndiff = 0
+    par.max_seqid = 100
+    par.coverage = 0
+    par.pc_hhm_nocontext_a = 0.0
+    par.gapb = 0.0
+    par.nocontxt = True
+    parse_args(argv, par)
+    if not par.infile:
+        print("hhconsensus -i <in.a3m> [-s out.seq] [-oa3m out.a3m]",
+              file=sys.stderr)
+        return 4
+    text = _read_infile(par)
+    cons_fa, a3m = hhconsensus(text, par.infile, par)
+    if par.outfile:
+        _write(par.outfile, cons_fa, 1)
+    if par.alnfile:
+        _write(par.alnfile, a3m, par.append)
+    return 0
+
+
+def cmd_cstranslate(argv: List[str]) -> int:
+    """cstranslate -i <ffindex base|a3m> -o <out base> [-f] [-b] -I a3m."""
+    from ..cs.context_lib import ContextLibrary, cstranslate_a3m
+    from ..io.ffindex import FFindexDatabase, FFindexWriter
+
+    infile = outfile = None
+    ffmode = False
+    alphabet = None
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "-i":
+            i += 1
+            infile = argv[i]
+        elif a == "-o":
+            i += 1
+            outfile = argv[i]
+        elif a == "-A":
+            i += 1
+            alphabet = argv[i]
+        elif a in ("-f", "--ffindex"):
+            ffmode = True
+        elif a in ("-b", "-I", "-x", "-c", "-D"):
+            if a in ("-I", "-x", "-c", "-D"):
+                i += 1
+        i += 1
+    if not infile or not outfile:
+        print("cstranslate -i <in> -o <out> [-f]", file=sys.stderr)
+        return 4
+    if alphabet:
+        with open(alphabet) as f:
+            lib = ContextLibrary.from_text(f.read())
+    else:
+        lib = ContextLibrary.default_cs219()
+    if ffmode:
+        src = FFindexDatabase(infile + ".ffdata", infile + ".ffindex")
+        with FFindexWriter(outfile + ".ffdata", outfile + ".ffindex") as w:
+            for name, data in src.items():
+                w.add(name, cstranslate_a3m(data.decode(), lib))
+    else:
+        with open(infile) as f:
+            seq = cstranslate_a3m(f.read(), lib)
+        with open(outfile, "wb") as f:
+            f.write(seq)
+    return 0
+
+
+def cmd_ffindex_build(argv: List[str]) -> int:
+    from ..io.ffindex import FFindexWriter
+
+    sort = "-s" in argv
+    rest = [a for a in argv if a != "-s"]
+    if len(rest) < 3:
+        print("ffindex_build [-s] <data> <index> <files...>",
+              file=sys.stderr)
+        return 4
+    data, index = rest[0], rest[1]
+    with FFindexWriter(data, index) as w:
+        for path in rest[2:]:
+            with open(path, "rb") as f:
+                w.add(os.path.basename(path), f.read())
+    return 0
+
+
+def cmd_ffindex_get(argv: List[str]) -> int:
+    from ..io.ffindex import FFindexDatabase
+
+    if len(argv) < 3:
+        print("ffindex_get <data> <index> <names...>", file=sys.stderr)
+        return 4
+    db = FFindexDatabase(argv[0], argv[1])
+    for name in argv[2:]:
+        sys.stdout.write(db.read_text(name))
+    return 0
+
+
+COMMANDS = {
+    "hhblits": cmd_hhblits,
+    "hhsearch": cmd_hhsearch,
+    "hhalign": cmd_hhalign,
+    "hhmake": cmd_hhmake,
+    "hhfilter": cmd_hhfilter,
+    "hhconsensus": cmd_hhconsensus,
+    "cstranslate": cmd_cstranslate,
+    "ffindex_build": cmd_ffindex_build,
+    "ffindex_get": cmd_ffindex_get,
+}
+
+
+def _apply_platform_env():
+    """Honor JAX_PLATFORMS even when a site plugin force-updates the jax
+    config at interpreter startup (e.g. remote-TPU sitecustomize)."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if want and "," not in want:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    _apply_platform_env()
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] not in COMMANDS:
+        print("usage: python -m hhsuite_tpu <tool> [options]\n"
+              "tools: " + " ".join(sorted(COMMANDS)), file=sys.stderr)
+        return 2
+    return COMMANDS[argv[0]](argv[1:])
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
