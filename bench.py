@@ -1,12 +1,14 @@
-"""Benchmark: Viterbi DP-cell throughput (GCUPS) of the wavefront kernel.
+"""Benchmark: Viterbi DP-cell throughput (GCUPS) of the Pallas wavefront
+kernel on one chip.
 
 Prints one JSON line {"metric", "value", "unit", "vs_baseline"}.
 Baseline: hhblits-AVX2 best case ~10 GCUPS/socket (BASELINE.md derived
-estimate: 8 f32 lanes x ~1 cell/lane/cycle-ish per core).
+estimate).  Timing is slope-based (many kernel invocations chained inside
+one jit call, two different counts) so fixed dispatch/transfer latency of
+remote-TPU setups cancels out.
 """
 
 import json
-import sys
 import time
 
 import numpy as np
@@ -14,36 +16,64 @@ import numpy as np
 BASELINE_GCUPS = 10.0
 
 
-def main():
+def _chained(fn_many, reps):
     import jax
 
+    f = fn_many(reps)
+    r = f()
+    _ = np.asarray(r)
+    best = 1e30
+    for _i in range(3):
+        t0 = time.perf_counter()
+        r = f()
+        _ = np.asarray(r)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
     from __graft_entry__ import _example_pair
-    from hhsuite_tpu.ops.viterbi import viterbi_batch
 
     on_tpu = any(d.platform != "cpu" for d in jax.devices())
     if on_tpu:
-        Lq, Lt, B = 400, 400, 64
+        from hhsuite_tpu.ops.viterbi_pallas2 import viterbi_batch_pallas2 \
+            as kern
+        Lq, Lt, B = 400, 400, 256
     else:
+        from hhsuite_tpu.ops.viterbi import viterbi_batch
+
+        def kern(qp, qtr, tp, ttr, co, tL, shift, **kw):
+            co2 = (np.zeros((tp.shape[0], qp.shape[0] - 1,
+                             tp.shape[1] - 1), bool) if co is None else co)
+            return viterbi_batch(qp, qtr, tp, ttr, co2, tL, shift, 0.0,
+                                 0.0, 0.0, **kw)
         Lq, Lt, B = 128, 128, 8
 
-    qp, qtr, tp, ttr, cell_off, t_L = _example_pair(Lq=Lq, Lt=Lt, B=B,
-                                                    seed=1)
-    args = (qp, qtr, tp, ttr, cell_off, t_L, np.float32(-0.03),
-            np.float32(0.0), np.float32(0.0), np.float32(0.0))
+    qp, qtr, tp, ttr, co, tL = _example_pair(Lq=Lq, Lt=Lt, B=B, seed=1)
+    dargs = [jax.device_put(a) for a in (qp, qtr, tp, ttr, tL)]
 
-    # warm-up / compile
-    out = viterbi_batch(*args, local=True, need_bt=True)
-    jax.block_until_ready(out)
+    def fn_many(n):
+        @jax.jit
+        def f(a=dargs):
+            acc = jnp.float32(0)
+            for r in range(n):
+                s, i2, j2, bt = kern(a[0], a[1], a[2], a[3], None, a[4],
+                                     np.float32(-0.03 - 1e-6 * r),
+                                     local=True, need_bt=True)
+                acc = acc + s.sum() + bt[0, 0, 0].astype(jnp.float32)
+            return acc
+        return f
 
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = viterbi_batch(*args, local=True, need_bt=True)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
+    n_lo, n_hi = (2, 10) if on_tpu else (1, 3)
+    t_lo = _chained(fn_many, n_lo)
+    t_hi = _chained(fn_many, n_hi)
+    t_kernel = max((t_hi - t_lo) / (n_hi - n_lo), 1e-9)
 
     cells = B * Lq * Lt
-    gcups = cells / dt / 1e9
+    gcups = cells / t_kernel / 1e9
     print(json.dumps({
         "metric": "viterbi_gcups_per_chip",
         "value": round(gcups, 4),

@@ -137,6 +137,34 @@ def score_for_backtrace(q: HMM, t: HMM, align_score: float,
     return float(score), float(score_ss), S, S_ss
 
 
+def _on_tpu() -> bool:
+    import jax
+
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
+
+
+def _dispatch_kernel(qp, qtr, tp, ttr, cell_off, t_L, shift, egq, egt,
+                     ss_batch, local):
+    """Pick the Pallas TPU kernel when running on TPU hardware with the
+    default (zero) end-gap penalties; lax.scan reference kernel
+    otherwise."""
+    if _on_tpu() and egq == 0.0 and egt == 0.0:
+        from ..ops.viterbi_pallas2 import viterbi_batch_pallas2
+
+        return viterbi_batch_pallas2(
+            qp, qtr, tp, ttr, cell_off, t_L, np.float32(shift),
+            ss_score=ss_batch, local=local)
+    co = cell_off
+    if co is None:
+        co = np.zeros((tp.shape[0], qp.shape[0] - 1, tp.shape[1] - 1),
+                      dtype=bool)
+    return V.viterbi_batch(qp, qtr, tp, ttr, co, t_L, shift, 0.0,
+                           egq, egt, ss_score=ss_batch, local=local)
+
+
 def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                    ss_matrices=None, batch_size: int = 32,
                    self_names: Optional[set] = None) -> List[Hit]:
@@ -192,11 +220,11 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                                        S73, S37, S33)
                     ss_batch[b, :, : t.L + 1] = m
 
-            score, i2, j2, bt = V.viterbi_batch(
+            score, i2, j2, bt = _dispatch_kernel(
                 q.p.astype(np.float32), q.tr.astype(np.float32),
-                tp, ttr, cell_off, t_L,
-                float(par.shift), 0.0, float(par.egq), float(par.egt),
-                ss_score=ss_batch, local=bool(par.loc))
+                tp, ttr, cell_off if any_co else None, t_L,
+                float(par.shift), float(par.egq), float(par.egt),
+                ss_batch, bool(par.loc))
             score = np.asarray(score)
             i2 = np.asarray(i2)
             j2 = np.asarray(j2)
