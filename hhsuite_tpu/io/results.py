@@ -111,24 +111,92 @@ def print_m8(q: HMM, hitlist: HitList, nhits_min_b=10, p=20.0, E=1e6) -> str:
     return "\n".join(out) + ("\n" if out else "")
 
 
+def _scop_id(fam: str):
+    """ScopID (hhutil-inl.h): fam 'a.1.2.3' -> cl 'a', fold 'a.1',
+    sfam 'a.1.2'; non-scop families give empty strings."""
+    parts = fam.split(".")
+    if len(parts) >= 2 and len(parts[0]) == 1 and parts[0].isalpha():
+        cl = parts[0]
+        fold = ".".join(parts[:2]) if len(parts) >= 2 else ""
+        sfam = ".".join(parts[:3]) if len(parts) >= 3 else ""
+        return cl, fold, sfam
+    return "", "", ""
+
+
 def print_score_file(q: HMM, hitlist: HitList) -> str:
-    """hhhitlist.cpp:327-376."""
+    """hhhitlist.cpp:327-375 (exact format strings)."""
     out = []
     out.append("NAME  " + q.longname)
     out.append("FAM   " + q.fam)
     out.append("FILE  " + q.file)
     out.append("LENG  %i" % q.L)
-    out.append("")
-    out.append("TARGET            FAMILY            REL  LEN  COL  LOG-PVA"
-               "   S-AASS PROBAB  SCORE_SS")
+    out.append("TARGET                FAMILY   REL  LEN  COL  LOG-PVA"
+               "  S-AASS PROBAB  SCORE  LOG-EVAL")
+    qcl, qfold, qsfam = _scop_id(q.fam)
     seen = set()
     for hit in hitlist:
         if hit.name in seen:
             continue
         seen.add(hit.name)
-        line = "%-20s %-10s %5i %5i %5i %8.3f %7.2f %6.2f %7.2f" % (
-            hit.name, hit.fam, 0, hit.L, hit.matched_cols,
-            -1.443 * hit.logPval, -hit.score_aass, hit.Probab,
-            hit.score_ss)
-        out.append(line)
+        hcl, hfold, hsfam = _scop_id(hit.fam)
+        if hit.name == q.name:
+            n = 5
+        elif hit.fam and hit.fam == q.fam:
+            n = 4
+        elif hsfam and hsfam == qsfam:
+            n = 3
+        elif hfold and hfold == qfold:
+            n = 2
+        elif hcl and hcl == qcl:
+            n = 1
+        else:
+            n = 0
+        out.append("%-20s %-10s %1i %5i %3i %8.3f %7.2f %6.2f %7.2f %8.3f"
+                   % (hit.name, hit.fam, n, hit.L, hit.matched_cols,
+                      -1.443 * hit.logPval, -hit.score_aass, hit.Probab,
+                      hit.score, -1.443 * hit.logEval))
     return "\n".join(out) + "\n"
+
+
+def write_alitab(q: HMM, hitlist: HitList, b=10, B=500, z=10, Z=500,
+                 p=20.0, E=1e6) -> str:
+    """HitList::WriteToAlifile (hhhitlist.cpp:377-463)."""
+    out = []
+    nhits = 0
+    for hit in hitlist:
+        if nhits >= max(B, Z):
+            break
+        if nhits >= max(b, z) and hit.Probab < p:
+            break
+        if nhits >= max(b, z) and hit.Eval > E:
+            continue
+        out.append(">%s" % hit.longname)
+        has_post = hit.P_posterior is not None
+        if has_post:
+            if hit.nss_dssp >= 0:
+                out.append("    i     j  score     SS  probab  dssp")
+                for step in range(hit.nsteps, 0, -1):
+                    if hit.states[step] == MM:
+                        out.append(
+                            "%5i %5i %6.2f %6.2f %7.4f %5c"
+                            % (hit.i[step], hit.j[step], hit.S[step],
+                               hit.S_ss[step], hit.P_posterior[step],
+                               hit.seq[hit.nss_dssp][hit.j[step]]))
+            else:
+                out.append("missing dssp")
+                out.append("    i     j  score     SS  probab")
+                for step in range(hit.nsteps, 0, -1):
+                    if hit.states[step] == MM:
+                        out.append("%5i %5i %6.2f %6.2f %7.4f"
+                                   % (hit.i[step], hit.j[step],
+                                      hit.S[step], hit.S_ss[step],
+                                      hit.P_posterior[step]))
+        else:
+            out.append("    i     j  score     SS")
+            for step in range(hit.nsteps, 0, -1):
+                if hit.states[step] == MM:
+                    out.append("%5i %5i %6.2f %6.2f"
+                               % (hit.i[step], hit.j[step], hit.S[step],
+                                  hit.S_ss[step]))
+        nhits += 1
+    return "\n".join(out) + ("\n" if out else "")

@@ -191,6 +191,83 @@ def perform_realign(par: Parameters, q_realign: HMM, hitlist: HitList,
     hitlist.hits = keep
 
 
+def premerge_hits(par: Parameters, q_re: HMM, qali, hitlist: HitList,
+                  get_template, db, mats: SubstitutionMatrix,
+                  ss: Optional[SecStrucMatrices],
+                  previous_hits, premerged_hits,
+                  min_col_realign: int = MINCOLS_REALIGN):
+    """HHblits::premerge (hhblits.cpp:1984-2066): MAC-realign the top
+    ``par.premerge`` hits one at a time against the current query profile,
+    merge each realigned hit into the query MSA, and rebuild the
+    realign-stage query HMM with *prefilter* pseudocount parameters after
+    every merge (hhblits.cpp:2038-2061).  The final ``perform_realign``
+    then re-realigns every hit against this rebuilt q — which is why the
+    reference's -atab scores and posteriors differ from a straight
+    PrepareQueryHMM + realign pipeline.
+
+    Mutates ``q_re`` (the realign query), ``qali`` and the hits in place;
+    adds merged ``file__irep`` keys to ``premerged_hits``.
+    """
+    from ..core.profile import frequencies_and_transitions
+    from .hhblits_merge import merge_hits_to_query
+
+    Lmaxmem = int((par.maxmem - 0.5) * 1024 ** 3
+                  / (2 * 8 + 8) / max(q_re.L, 1) / max(par.threads, 1))
+    decoder = PosteriorDecoder(bool(par.loc), par.ssw_realign,
+                               *((ss.S73, ss.S37, ss.S33) if ss
+                                 else (None, None, None)))
+    count = 0
+    for hit in list(hitlist):
+        if count >= par.premerge:
+            break
+        if hit.L > Lmaxmem:
+            continue
+        if count >= max(par.B, par.Z):
+            break
+        if count >= max(par.b, par.z) and hit.Probab < par.p:
+            break
+        if count >= max(par.b, par.z) and hit.Eval > par.E:
+            continue
+        count += 1
+        if hit.Eval > par.e:
+            continue
+
+        # single-hit realign against the current q
+        # (PosteriorDecoderRunner::executeComputation with one hit)
+        q_re.log2lin_transitions()
+        prepare_query_transitions(q_re)
+        t, fmt = get_template(hit.entry)
+        t.log2lin_transitions()
+        prepare_template_transitions(t)
+        co = build_realign_cell_off(q_re, t, hit, par.min_overlap, [])
+        decoder.realign(q_re, t, hit, co, par.shift, par.mact, par.corr)
+
+        # merge the realigned hit into the query MSA (single-hit
+        # mergeHitsToQuery, hhblits.cpp:2033) and mark it premerged
+        single = HitList()
+        single.extend([hit])
+        merge_hits_to_query(par, qali, single, previous_hits, db, mats,
+                            min_col_realign, premerged_hits)
+        premerged_hits.add(f"{hit.file}__{hit.irep}")
+
+        # rebuild q from the merged MSA with prefilter pseudocounts
+        # (hhblits.cpp:2038-2061)
+        frequencies_and_transitions(qali, q_re, par.wg, par.mark, par.cons,
+                                    par.showcons, mats.pb, mats.Sim)
+        if par.notags:
+            neutralize_tags(q_re, mats.pb)
+        q_re.prepare_pseudocounts(mats.R)
+        q_re.add_amino_acid_pseudocounts(par.pc_prefilter_nocontext_mode,
+                                         par.pc_prefilter_nocontext_a,
+                                         par.pc_prefilter_nocontext_b,
+                                         par.pc_prefilter_nocontext_c)
+        q_re.calculate_aa_background(mats.pb)
+        q_re.add_transition_pseudocounts(par.gapd, par.gape, par.gapf,
+                                         par.gapg, par.gaph, par.gapi,
+                                         par.gapb)
+        q_re.log2lin_transitions()
+
+
 def run_hhalign(par: Parameters, query_text: str, template_texts:
                 List[Tuple[str, str]], query_name: str = "query"):
     """hhalign -i query -t templates (HHalign::run, hhalign.cpp:590-676).
@@ -264,16 +341,20 @@ def run_hhsearch(par: Parameters, query_text: str, db: HHDatabase,
     hitlist.sort()
     hitlist.calculate_pvalues(q, par.loc, par.ssm, par.ssw)
 
+    import copy
+
+    q_re = copy.deepcopy(q)
+
+    def get_template(entry):
+        t, fmt = db.get_template_hmm(str(entry), par, mats,
+                                     use_global_weights=par.wg)
+        prepare_template_hmm(par, q_re, t, mats, fmt)
+        return t, fmt
+
+    if par.premerge and db.a3m is not None:
+        premerge_hits(par, q_re, qali, hitlist, get_template, db, mats,
+                      ss, set(), set(), MINCOLS_REALIGN)
     if par.realign:
-        import copy
-
-        def get_template(entry):
-            t, fmt = db.get_template_hmm(str(entry), par, mats,
-                                         use_global_weights=par.wg)
-            prepare_template_hmm(par, q, t, mats, fmt)
-            return t, fmt
-
-        q_re = copy.deepcopy(q)
         perform_realign(par, q_re, hitlist, get_template, mats, ss,
                         min_col_realign=MINCOLS_REALIGN)
     return q, hitlist

@@ -49,10 +49,18 @@ def run_hhblits(par: Parameters, query_text: str, db: HHDatabase,
     cs_seqs = [db.cs219.read_bytes(e) for e in db.cs219.entries]
 
     previous_hits: Set[str] = set()
+    premerged_hits: Set[str] = set()
     hitlist = HitList()
     search_counter: Set[str] = set()
 
     for round_no in range(1, par.num_rounds + 1):
+        # premerge budget shrinks once enough hits are merged
+        # (hhblits.cpp:1120-1126; mutates par.premerge persistently)
+        if par.premerge > 0 and round_no > 1 \
+                and len(previous_hits) >= par.premerge:
+            par.premerge = 0
+        else:
+            par.premerge -= len(previous_hits)
         q_tmp = copy.deepcopy(q)
         prepare_query_hmm(par, q, mats, input_format)
 
@@ -93,38 +101,55 @@ def run_hhblits(par: Parameters, query_text: str, db: HHDatabase,
 
         new_hits = sum(1 for h in hitlist if h.Eval <= par.e)
 
-        if par.realign:
-            def get_template(entry):
-                t, fmt = db.get_template_hmm(str(entry), par, mats,
-                                             use_global_weights=par.wg)
-                prepare_template_hmm(par, q, t, mats, fmt)
-                return t, fmt
+        q_re = copy.deepcopy(q)
 
-            q_re = copy.deepcopy(q)
+        def get_template(entry):
+            t, fmt = db.get_template_hmm(str(entry), par, mats,
+                                         use_global_weights=par.wg)
+            prepare_template_hmm(par, q_re, t, mats, fmt)
+            return t, fmt
+
+        # premerge runs even with -norealign (hhblits.cpp:1262-1264)
+        if par.premerge and db.a3m is not None:
+            from .engine import premerge_hits
+
+            premerge_hits(par, q_re, qali, hitlist, get_template, db,
+                          mats, ss, previous_hits, premerged_hits,
+                          MINCOLS_REALIGN)
+        if par.realign:
             perform_realign(par, q_re, hitlist, get_template, mats, ss,
                             MINCOLS_REALIGN)
 
-        last_round = (new_hits == 0 or round_no == par.num_rounds
-                      or q.Neff_HMM > par.neffmax
-                      or qali.N_in >= par.maxseq)
-
-        if not last_round:
-            merge_hits_to_query(par, qali, hitlist, previous_hits, db,
-                                mats)
+        # q for the hhr writer is the round-start HMM (writeHHRFile uses
+        # q_tmp, hhblits.cpp:1816-1822); the merged rebuild below feeds
+        # the next round and -oa3m/-opsi/-ohhm outputs
+        merge_cond = (round_no < par.num_rounds or par.alnfile
+                      or par.psifile or par.hhmfile or par.alisbasename)
+        if merge_cond:
+            if new_hits > 0:
+                merge_hits_to_query(par, qali, hitlist, previous_hits, db,
+                                    mats, MINCOLS_REALIGN, premerged_hits)
             qnew = HMM()
             frequencies_and_transitions(qali, qnew, par.wg, par.mark,
                                         par.cons, par.showcons, mats.pb,
                                         mats.Sim)
-            q = qnew
             if par.notags:
-                neutralize_tags(q, mats.pb)
-            # record good hits as seen
-            for h in hitlist:
-                if par.already_seen_filter and h.Eval <= par.e:
-                    base = h.file
-                    previous_hits.add(f"{base}__{h.irep}")
-            hitlist = HitList()
+                neutralize_tags(qnew, mats.pb)
         else:
+            qnew = q
+
+        last_round = (new_hits == 0 or round_no == par.num_rounds
+                      or qnew.Neff_HMM > par.neffmax
+                      or qali.N_in >= par.maxseq)
+        if last_round:
             break
+        q = qnew
+
+        # record good hits as seen
+        for h in hitlist:
+            if par.already_seen_filter and h.Eval <= par.e:
+                base = h.file
+                previous_hits.add(f"{base}__{h.irep}")
+        hitlist = HitList()
 
     return q, hitlist, qali

@@ -6,7 +6,7 @@ and HHblits::mergeHitsToQuery (src/hhblits.cpp:820-888).
 
 from __future__ import annotations
 
-from typing import Set
+from typing import Optional, Set
 
 import numpy as np
 
@@ -112,7 +112,8 @@ def merge_master_slave(qali: Alignment, hit: Hit, tali: Alignment,
 
 def merge_hits_to_query(par: Parameters, qali: Alignment, hitlist: HitList,
                         previous_hits: Set[str], db, mats,
-                        min_col_realign: int = MINCOLS_REALIGN):
+                        min_col_realign: int = MINCOLS_REALIGN,
+                        premerged_hits: Optional[Set[str]] = None):
     """HHblits::mergeHitsToQuery (hhblits.cpp:820-888)."""
     from .engine import template_hmm_from_text
 
@@ -129,6 +130,9 @@ def merge_hits_to_query(par: Parameters, qali: Alignment, hitlist: HitList,
             continue
         key = f"{hit.file}__{hit.irep}"
         if key in previous_hits:
+            continue
+        # hits merged during premerging are skipped (hhblits.cpp:850-852)
+        if premerged_hits is not None and key in premerged_hits:
             continue
 
         text = db.get_template_a3m_text(str(hit.entry))

@@ -97,3 +97,43 @@ def test_hhr_matches_golden(search_result):
         agree = sum(1 for a, b in zip(g, w) if a == b) / max(len(w), 1)
         assert agree > 0.9, (g, w)
     assert exact / len(want_l) > 0.85, f"only {exact}/{len(want_l)} exact"
+
+
+def _tokens_close(got, want, tol=0.02):
+    gl = got.splitlines()
+    wl = want.splitlines()
+    assert len(gl) == len(wl)
+    for g, w in zip(gl, wl):
+        if g == w:
+            continue
+        gt, wt = g.split(), w.split()
+        assert len(gt) == len(wt), (g, w)
+        for a, b in zip(gt, wt):
+            if a == b:
+                continue
+            fa, fb = float(a), float(b)
+            assert abs(fa - fb) <= tol * max(1.0, abs(fb)), (g, w)
+
+
+def test_scores_file(search_result):
+    from hhsuite_tpu.io.results import print_score_file
+
+    par, q, hitlist = search_result
+    got = print_score_file(q, hitlist)
+    with open(f"{FIX}/golden_hhsearch.scores") as f:
+        want = f.read()
+    _tokens_close(got, want)
+
+
+def test_alitab_file(search_result):
+    from hhsuite_tpu.io.results import write_alitab
+
+    par, q, hitlist = search_result
+    got = write_alitab(q, hitlist, par.b, par.B, par.z, par.Z, par.p,
+                       par.E)
+    with open(f"{FIX}/golden_hhsearch.atab") as f:
+        want = f.read()
+    gl, wl = got.splitlines(), want.splitlines()
+    assert len(gl) == len(wl)
+    exact = sum(1 for a, b in zip(gl, wl) if a == b)
+    assert exact / len(wl) > 0.97
