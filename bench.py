@@ -39,8 +39,10 @@ def main():
 
     on_tpu = any(d.platform != "cpu" for d in jax.devices())
     if on_tpu:
-        from hhsuite_tpu.ops.viterbi_pallas2 import viterbi_batch_pallas2 \
-            as kern
+        from hhsuite_tpu.ops.viterbi_rows import viterbi_batch_rows
+
+        def kern(*a, **kw):
+            return viterbi_batch_rows(*a, tb=64, **kw)
         Lq, Lt, B = 400, 400, 256
     else:
         from hhsuite_tpu.ops.viterbi import viterbi_batch

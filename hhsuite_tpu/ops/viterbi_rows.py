@@ -1,0 +1,345 @@
+"""Row-sweep Pallas Viterbi: lanes = template positions, one step per
+query row.
+
+The wavefront kernels (viterbi_pallas / viterbi_pallas2) advance one
+anti-diagonal per step, so every step does a handful of (8, Wp) vector
+ops plus ~15 `pltpu.roll`s — the rolls dominate and cap throughput
+around 2.5 GCUPS.  This kernel instead sweeps query rows: each grid step
+computes a FULL row of cells (TB × Lt lanes) with wide element-wise ops.
+
+The cross-row recurrences (MM/DG/MI from row i-1, hhviterbialgorithm.cpp
+:45-497) are plain element-wise work per row.  The two same-row
+recurrences
+
+    GD[i][j] = max(MM[i][j-1] + t_m2d[j-1], GD[i][j-1] + t_d2d[j-1])
+    IM[i][j] = max(MM[i][j-1] + q_m2i[i] + t_m2m[j-1],
+                   IM[i][j-1] + q_i2i[i] + t_m2m[j-1])
+
+are first-order (max, +) linear recurrences along j and are solved with a
+Kogge-Stone scan over the lane axis (log2(Wp) steps): combine
+(A, C) ⊕ (A', C') = (max(A, A' + C), C + C').  Rolls now cost
+O(log Lt) per ROW instead of O(1) per CELL.
+
+Exactness: the scan evaluates the gap-run sums in tree order, so values
+can differ from the reference's row-sequential loop by ~1 ulp along long
+gap runs (which can flip an argmax in exact ties).  This is the
+throughput kernel; `ops.viterbi.viterbi_batch` remains the bit-exact
+reference/parity path (used on CPU and in golden tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+FLT_MAX = float(np.finfo(np.float32).max)
+M2M, M2I, M2D, I2M, I2I, D2M, D2D = range(7)
+STOP, MM, GD, IM, DG, MI = 0, 2, 3, 4, 5, 6
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("local", "need_bt", "tb", "interpret"))
+def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
+                       ss_score=None, local=True, need_bt=True,
+                       tb=32, interpret=False):
+    """Contract of ops.viterbi.viterbi_batch (egq=egt=0 assumed).
+
+    Returns (score, i2, j2, bt) with bt (B, Lq+1, Lt+1) uint8.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .viterbi import _log2f4
+
+    Lq = qp.shape[0] - 2
+    Lt = tp.shape[1] - 2
+    B = tp.shape[0]
+    Wj = Lt + 1
+    Wp = _round_up(Wj, 128)
+    TB = min(tb, B)
+    Bp = _round_up(B, TB)
+    f32 = jnp.float32
+    NEG = f32(-FLT_MAX)
+
+    # ---- per-row match scores (MXU) ----
+    dot = jnp.einsum("ia,bja->bij", qp[1:Lq + 1], tp[:, 1:Lt + 1],
+                     preferred_element_type=jnp.float32)   # (B, Lq, Lt)
+    Si = _log2f4(dot) + f32(shift)
+    if ss_score is not None:
+        Si = Si + ss_score[:, 1:, 1:]
+    Si = jnp.pad(Si, ((0, Bp - B), (0, 0), (1, Wp - Wj)))
+    has_co = cell_off is not None
+    if has_co:
+        co_add = jnp.where(cell_off[:, 1:, :], NEG, f32(0.0))
+        co_add = jnp.pad(co_add, ((0, Bp - B), (0, 0), (0, Wp - Wj)))
+        Si = Si + co_add
+        co_add = jnp.transpose(co_add, (1, 0, 2))   # (Lq, Bp, Wp)
+    else:
+        co_add = jnp.zeros((1, 1, 128), f32)    # placeholder
+    Si = jnp.transpose(Si, (1, 0, 2))               # (Lq, Bp, Wp)
+
+    # template transitions as lane vectors (shared with pallas2 layout)
+    jidx = np.arange(Wp)
+    jm1 = jnp.asarray(np.maximum(jidx - 1, 0).clip(0, Lt + 1))
+    j0 = jnp.asarray(jidx.clip(0, Lt + 1))
+    ttr_f = ttr.astype(jnp.float32)
+    tvec = jnp.stack([
+        ttr_f[:, :, M2M][:, jm1], ttr_f[:, :, D2M][:, jm1],
+        ttr_f[:, :, I2M][:, jm1], ttr_f[:, :, M2D][:, jm1],
+        ttr_f[:, :, D2D][:, jm1],
+        ttr_f[:, :, M2I][:, j0], ttr_f[:, :, I2I][:, j0],
+    ], axis=1)                                   # (B, 7, Wp)
+    tvec = jnp.pad(tvec, ((0, Bp - B), (0, 0), (0, 0)))
+
+    Lqp = _round_up(Lq + 2, 8)
+    qtr_s = jnp.pad(qtr.astype(jnp.float32).T,
+                    ((0, 0), (0, Lqp - (Lq + 2))),
+                    constant_values=-FLT_MAX)     # (7, Lqp)
+
+    sminf = 0.0 if local else -FLT_MAX
+    n_btiles = Bp // TB
+    scan_steps = []
+    s = 1
+    while s < Wp:
+        scan_steps.append(s)
+        s *= 2
+
+    def kernel(*refs):
+        if has_co:
+            (si_ref, co_ref, tv_ref, qtr_ref,
+             bestS_ref, bestI_ref, bt_ref, st_ref, bl_ref) = refs
+        else:
+            (si_ref, tv_ref, qtr_ref,
+             bestS_ref, bestI_ref, bt_ref, st_ref, bl_ref) = refs
+        r_idx = pl.program_id(1)
+        i = r_idx + 1
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (TB, Wp), 1)
+
+        @pl.when(r_idx == 0)
+        def _():
+            # row i=0 boundary: MM = 0 everywhere (egq=egt=0), rest -inf
+            st_ref[0] = jnp.zeros((TB, Wp), f32)
+            for s_ in range(1, 5):
+                st_ref[s_] = jnp.full((TB, Wp), -FLT_MAX)
+            bl_ref[0] = jnp.full((TB, Wp), -FLT_MAX)
+            bl_ref[1] = jnp.zeros((TB, Wp), f32)
+
+        tv = tv_ref[...]
+        tm2m1 = tv[:, 0]
+        td2m1 = tv[:, 1]
+        ti2m1 = tv[:, 2]
+        tm2d1 = tv[:, 3]
+        td2d1 = tv[:, 4]
+        tm2i0 = tv[:, 5]
+        ti2i0 = tv[:, 6]
+
+        qm2m1 = qtr_ref[M2M, i - 1]
+        qd2m1 = qtr_ref[D2M, i - 1]
+        qi2m1 = qtr_ref[I2M, i - 1]
+        qm2d1 = qtr_ref[M2D, i - 1]
+        qd2d1 = qtr_ref[D2D, i - 1]
+        qm2i0 = qtr_ref[M2I, i]
+        qi2i0 = qtr_ref[I2I, i]
+
+        mm_p = st_ref[0]
+        dg_p = st_ref[1]
+        mi_p = st_ref[2]
+        gd_p = st_ref[3]
+        im_p = st_ref[4]
+
+        # When there is at least one padding lane (Wj < Wp), the value
+        # wrapped into lane 0 by the circular roll comes from a padding
+        # lane that every consumer either masks (A1/A2 lane-0 init, the
+        # `on` mask on bytes) or ignores (lane 0 is a boundary cell), so
+        # the explicit lane-0 mask is dropped.  Only when Lt+1 == Wp does
+        # the wrap deliver live data and need masking.
+        if Wj < Wp:
+            def upj(x):
+                return pltpu.roll(x, 1, 1)
+        else:
+            def upj(x):
+                r = pltpu.roll(x, 1, 1)
+                return jnp.where(lanes == 0, -FLT_MAX, r)
+
+        # ---- MM row: predecessors at (i-1, j-1) ----
+        c_mm = upj(mm_p) + qm2m1 + tm2m1
+        best5 = jnp.maximum(sminf, c_mm)
+        code = jnp.where(c_mm > sminf, MM, STOP)
+        c_gd = upj(gd_p) + qm2m1 + td2m1
+        code = jnp.where(c_gd > best5, GD, code)
+        best5 = jnp.maximum(best5, c_gd)
+        c_im = upj(im_p) + qi2m1 + tm2m1
+        code = jnp.where(c_im > best5, IM, code)
+        best5 = jnp.maximum(best5, c_im)
+        c_dg = upj(dg_p) + qd2m1 + tm2m1
+        code = jnp.where(c_dg > best5, DG, code)
+        best5 = jnp.maximum(best5, c_dg)
+        c_mi = upj(mi_p) + qm2m1 + ti2m1
+        code = jnp.where(c_mi > best5, MI, code)
+        best5 = jnp.maximum(best5, c_mi)
+        mm_row = best5 + si_ref[0]                # si already carries co
+        # boundary lane j=0: MM[i][0] = 0 (zero end-gap penalties)
+        mm_row = jnp.where(lanes == 0, 0.0, mm_row)
+
+        # ---- DG/MI rows: predecessors at (i-1, j), element-wise ----
+        a_dg = mm_p + qm2d1
+        b_dg = dg_p + qd2d1
+        bit_dg = a_dg > b_dg
+        dg_row = jnp.maximum(a_dg, b_dg)
+        a_mi = mm_p + qm2m1 + tm2i0
+        b_mi = mi_p + qm2m1 + ti2i0
+        bit_mi = a_mi > b_mi
+        mi_row = jnp.maximum(a_mi, b_mi)
+        if has_co:
+            co = co_ref[0]
+            dg_row = dg_row + co
+            mi_row = mi_row + co
+
+        # ---- GD/IM rows: same-row recurrence, Kogge-Stone (max,+) ----
+        mm_row_s = upj(mm_row)                    # MM[i][j-1]
+        a_gd0 = mm_row_s + tm2d1
+        c_gd = td2d1
+        a_im0 = (mm_row_s + qm2i0) + tm2m1
+        c_im = qi2i0 + tm2m1
+        if has_co:
+            a_gd = a_gd0 + co
+            c_gd2 = c_gd + co
+            a_im = a_im0 + co
+            c_im2 = c_im + co
+        else:
+            a_gd, c_gd2, a_im, c_im2 = a_gd0, c_gd, a_im0, c_im
+        A1 = jnp.where(lanes == 0, -FLT_MAX, a_gd)
+        C1 = c_gd2
+        A2 = jnp.where(lanes == 0, -FLT_MAX, a_im)
+        C2 = c_im2
+        # Kogge-Stone; only the A rolls need wrap masking.  A C value
+        # rolled across the origin is garbage only in lanes j < 2^k, and
+        # every use of C[j] at the next step pairs it with an A roll that
+        # is masked to -FLT_MAX exactly for those lanes, so the garbage
+        # never reaches a result (C pads start at -FLT_MAX via the
+        # template-transition padding and only become more negative).
+        for s_ in scan_steps:
+            A1r = jnp.where(lanes < s_, -FLT_MAX, pltpu.roll(A1, s_, 1))
+            C1r = pltpu.roll(C1, s_, 1)
+            A2r = jnp.where(lanes < s_, -FLT_MAX, pltpu.roll(A2, s_, 1))
+            C2r = pltpu.roll(C2, s_, 1)
+            A1 = jnp.maximum(A1, A1r + C1)
+            C1 = C1 + C1r
+            A2 = jnp.maximum(A2, A2r + C2)
+            C2 = C2 + C2r
+        gd_row = A1
+        im_row = A2
+        # backtrace bits against the resolved predecessor (pre-cell-off,
+        # matching the wavefront kernels' bit semantics)
+        b_gd2 = upj(gd_row) + td2d1
+        bit_gd = a_gd0 > b_gd2
+        b_im2 = upj(im_row) + qi2i0 + tm2m1
+        bit_im = a_im0 > b_im2
+
+        on = (lanes >= 1) & (lanes <= Lt)
+        negfull = jnp.full((TB, Wp), -FLT_MAX)
+        mm_row = jnp.where(on | (lanes == 0), mm_row, negfull)
+        dg_row = jnp.where(on, dg_row, negfull)
+        mi_row = jnp.where(on, mi_row, negfull)
+        gd_row = jnp.where(on, gd_row, negfull)
+        im_row = jnp.where(on, im_row, negfull)
+
+        byte = (code
+                | jnp.where(bit_gd, 8, 0)
+                | jnp.where(bit_im, 16, 0)
+                | jnp.where(bit_dg, 32, 0)
+                | jnp.where(bit_mi, 64, 0))
+        byte = jnp.where(on, byte, 0)
+        bt_ref[0] = byte.astype(jnp.int32)
+
+        st_ref[0] = mm_row
+        st_ref[1] = dg_row
+        st_ref[2] = mi_row
+        st_ref[3] = gd_row
+        st_ref[4] = im_row
+
+        if local:
+            cand = jnp.where(on, mm_row, -FLT_MAX)
+        else:
+            cand = jnp.where(on & ((lanes == Lt) | (i == Lq)),
+                             mm_row, -FLT_MAX)
+        prev = bl_ref[0]
+        better = cand > prev
+        bl_ref[0] = jnp.where(better, cand, prev)
+        bl_ref[1] = jnp.where(better, f32(i), bl_ref[1])
+
+        @pl.when(r_idx == Lq - 1)
+        def _():
+            bestS_ref[0] = bl_ref[0]
+            bestI_ref[0] = bl_ref[1]
+
+    grid = (n_btiles, Lq)
+    out_shape = (
+        jax.ShapeDtypeStruct((n_btiles, TB, Wp), jnp.float32),
+        jax.ShapeDtypeStruct((n_btiles, TB, Wp), jnp.float32),
+        jax.ShapeDtypeStruct((Lq, Bp, Wp), jnp.int32),
+    )
+    in_specs = [pl.BlockSpec((1, TB, Wp), lambda b, r: (r, b, 0))]
+    inputs = [Si]
+    if has_co:
+        in_specs.append(pl.BlockSpec((1, TB, Wp), lambda b, r: (r, b, 0)))
+        inputs.append(co_add)
+    in_specs += [
+        pl.BlockSpec((TB, 7, Wp), lambda b, r: (b, 0, 0)),
+        pl.BlockSpec((7, Lqp), lambda b, r: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    inputs += [tvec, qtr_s]
+    res = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, TB, Wp), lambda b, r: (b, 0, 0)),
+            pl.BlockSpec((1, TB, Wp), lambda b, r: (b, 0, 0)),
+            pl.BlockSpec((1, TB, Wp), lambda b, r: (r, b, 0)),
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((5, TB, Wp), jnp.float32),
+            pltpu.VMEM((2, TB, Wp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*inputs)
+    bestS, bestI, bt_rows = res
+
+    # ---- final reduction: score desc, then i asc, then j asc ----
+    bestS = bestS.reshape(Bp, Wp)[:B, :Wj]
+    bestI = bestI.reshape(Bp, Wp)[:B, :Wj].astype(jnp.int32)
+    lanes = jnp.arange(Wj)[None, :]
+    neg = bestS <= -FLT_MAX
+    smax = jnp.max(bestS, axis=1, keepdims=True)
+    tied = (bestS == smax) & ~neg
+    big = 10 ** 6
+    i_cand = jnp.where(tied, bestI, big)
+    imin = jnp.min(i_cand, axis=1, keepdims=True)
+    tied2 = tied & (bestI == imin)
+    j_cand = jnp.where(tied2, lanes, big)
+    jmin = jnp.min(j_cand, axis=1)
+    score = smax[:, 0]
+    best_j = jmin.astype(jnp.int32)
+    best_i = imin[:, 0].astype(jnp.int32)
+    empty = jnp.all(neg, axis=1)
+    score = jnp.where(empty, NEG, score)
+    best_i = jnp.where(empty, 0, best_i)
+    best_j = jnp.where(empty, 0, best_j)
+
+    if need_bt:
+        bt = jnp.transpose(bt_rows, (1, 0, 2))[:B, :, :Wj]
+        bt = jnp.pad(bt.astype(jnp.uint8), ((0, 0), (1, 0), (0, 0)))
+    else:
+        bt = jnp.zeros((B, 1, 1), dtype=jnp.uint8)
+    return score, best_i, best_j, bt

@@ -152,11 +152,11 @@ def _dispatch_kernel(qp, qtr, tp, ttr, cell_off, t_L, shift, egq, egt,
     default (zero) end-gap penalties; lax.scan reference kernel
     otherwise."""
     if _on_tpu() and egq == 0.0 and egt == 0.0:
-        from ..ops.viterbi_pallas2 import viterbi_batch_pallas2
+        from ..ops.viterbi_rows import viterbi_batch_rows
 
-        return viterbi_batch_pallas2(
+        return viterbi_batch_rows(
             qp, qtr, tp, ttr, cell_off, t_L, np.float32(shift),
-            ss_score=ss_batch, local=local)
+            ss_score=ss_batch, local=local, tb=64)
     co = cell_off
     if co is None:
         co = np.zeros((tp.shape[0], qp.shape[0] - 1, tp.shape[1] - 1),
