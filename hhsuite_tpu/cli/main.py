@@ -266,6 +266,161 @@ def cmd_ffindex_get(argv: List[str]) -> int:
     return 0
 
 
+def _getopt(argv: List[str], optmap: dict) -> dict:
+    """Tiny getopt-style parser: optmap maps '-x' -> key (value opts)."""
+    out = {}
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a in optmap:
+            i += 1
+            out[optmap[a]] = argv[i]
+        i += 1
+    return out
+
+
+def cmd_a3m_database_reduce(argv: List[str]) -> int:
+    """a3m ffindex -> ca3m ffindex (src/a3m_database_reduce.cpp)."""
+    from ..io.ca3m import compress_a3m
+    from ..io.ffindex import FFindexDatabase, FFindexWriter
+
+    o = _getopt(argv, {"-i": "i", "-o": "o", "-d": "d"})
+    if not all(k in o for k in "iod"):
+        print("a3m_database_reduce -i <a3m db> -o <ca3m db> "
+              "-d <sequence db>", file=sys.stderr)
+        return 4
+    a3m = FFindexDatabase(o["i"] + ".ffdata", o["i"] + ".ffindex")
+    seq = FFindexDatabase(o["d"] + ".ffdata", o["d"] + ".ffindex")
+    with FFindexWriter(o["o"] + ".ffdata", o["o"] + ".ffindex") as w:
+        for name, data in a3m.items():
+            body = compress_a3m(data.decode("utf-8", "replace"), seq)
+            if body is None:
+                print(f"WARNING: could not compress {name}",
+                      file=sys.stderr)
+                continue
+            w.add(name, body)
+    return 0
+
+
+def cmd_a3m_database_extract(argv: List[str]) -> int:
+    """ca3m ffindex -> a3m ffindex (src/a3m_database_extract.cpp)."""
+    from ..io.ca3m import extract_a3m
+    from ..io.ffindex import FFindexDatabase, FFindexWriter
+
+    o = _getopt(argv, {"-i": "i", "-o": "o", "-d": "d", "-q": "q"})
+    if not all(k in o for k in "iodq"):
+        print("a3m_database_extract -i <ca3m db> -o <a3m db> "
+              "-d <sequence db> -q <header db>", file=sys.stderr)
+        return 4
+    ca3m = FFindexDatabase(o["i"] + ".ffdata", o["i"] + ".ffindex")
+    seq = FFindexDatabase(o["d"] + ".ffdata", o["d"] + ".ffindex")
+    hdr = FFindexDatabase(o["q"] + ".ffdata", o["q"] + ".ffindex")
+    with FFindexWriter(o["o"] + ".ffdata", o["o"] + ".ffindex") as w:
+        for name, data in ca3m.items():
+            w.add(name, extract_a3m(data, seq, hdr).encode())
+    return 0
+
+
+def cmd_a3m_database_filter(argv: List[str]) -> int:
+    """Copy entries whose name appears in the filter list
+    (src/a3m_database_filter.cpp)."""
+    from ..io.ffindex import FFindexDatabase, FFindexWriter
+
+    o = _getopt(argv, {"-i": "i", "-o": "o", "-s": "s"})
+    if not all(k in o for k in "ios"):
+        print("a3m_database_filter -i <db> -o <db> -s <name list file>",
+              file=sys.stderr)
+        return 4
+    with open(o["s"]) as f:
+        allowed = set(f.read().split())
+    src = FFindexDatabase(o["i"] + ".ffdata", o["i"] + ".ffindex")
+    with FFindexWriter(o["o"] + ".ffdata", o["o"] + ".ffindex") as w:
+        for name, data in src.items():
+            if name in allowed:
+                w.add(name, data)
+    return 0
+
+
+def cmd_a3m_reduce(argv: List[str]) -> int:
+    """Single a3m file -> ca3m (src/a3m_reduce.cpp)."""
+    from ..io.ca3m import compress_a3m
+    from ..io.ffindex import FFindexDatabase
+
+    o = _getopt(argv, {"-i": "i", "-o": "o", "-d": "d"})
+    if "d" not in o:
+        print("a3m_reduce [-i in.a3m] [-o out.ca3m] -d <sequence db>",
+              file=sys.stderr)
+        return 4
+    text = (sys.stdin.read() if o.get("i") in (None, "stdin")
+            else open(o["i"]).read())
+    seq = FFindexDatabase(o["d"] + ".ffdata", o["d"] + ".ffindex")
+    body = compress_a3m(text, seq)
+    if body is None:
+        print("ERROR: could not compress a3m", file=sys.stderr)
+        return 1
+    if o.get("o") in (None, "stdout"):
+        sys.stdout.buffer.write(body)
+    else:
+        with open(o["o"], "wb") as f:
+            f.write(body)
+    return 0
+
+
+def cmd_a3m_extract(argv: List[str]) -> int:
+    """Single ca3m file -> a3m (src/a3m_extract.cpp)."""
+    from ..io.ca3m import extract_a3m
+    from ..io.ffindex import FFindexDatabase
+
+    o = _getopt(argv, {"-i": "i", "-o": "o", "-d": "d", "-q": "q"})
+    if "d" not in o or "q" not in o:
+        print("a3m_extract [-i in.ca3m] [-o out.a3m] -d <sequence db> "
+              "-q <header db>", file=sys.stderr)
+        return 4
+    data = (sys.stdin.buffer.read() if o.get("i") in (None, "stdin")
+            else open(o["i"], "rb").read())
+    seq = FFindexDatabase(o["d"] + ".ffdata", o["d"] + ".ffindex")
+    hdr = FFindexDatabase(o["q"] + ".ffdata", o["q"] + ".ffindex")
+    out = extract_a3m(data, seq, hdr)
+    _write(o.get("o") or "stdout", out)
+    return 0
+
+
+def cmd_ffindex_from_fasta(argv: List[str]) -> int:
+    """FASTA -> ffindex of full records (lib/ffindex/src/
+    ffindex_from_fasta.c); -n names entries 1..N instead of by first
+    header word."""
+    from ..io.ffindex import FFindexWriter
+
+    numeric = "-n" in argv
+    rest = [a for a in argv if a not in ("-s", "-n")]
+    if len(rest) < 3:
+        print("ffindex_from_fasta [-s] [-n] <data> <index> <fasta>",
+              file=sys.stderr)
+        return 4
+    data_path, index_path, fasta_path = rest[:3]
+    with open(fasta_path) as f:
+        text = f.read()
+    records = []
+    cur = None
+    for line in text.splitlines(keepends=True):
+        if line.startswith(">"):
+            if cur is not None:
+                records.append(cur)
+            cur = line
+        elif cur is not None:
+            cur += line
+    if cur is not None:
+        records.append(cur)
+    with FFindexWriter(data_path, index_path) as w:
+        for k, rec in enumerate(records):
+            if numeric:
+                name = str(k + 1)
+            else:
+                name = rec[1:].split()[0] if rec[1:].split() else str(k + 1)
+            w.add(name, rec.encode())
+    return 0
+
+
 COMMANDS = {
     "hhblits": cmd_hhblits,
     "hhsearch": cmd_hhsearch,
@@ -276,6 +431,12 @@ COMMANDS = {
     "cstranslate": cmd_cstranslate,
     "ffindex_build": cmd_ffindex_build,
     "ffindex_get": cmd_ffindex_get,
+    "ffindex_from_fasta": cmd_ffindex_from_fasta,
+    "a3m_database_reduce": cmd_a3m_database_reduce,
+    "a3m_database_extract": cmd_a3m_database_extract,
+    "a3m_database_filter": cmd_a3m_database_filter,
+    "a3m_reduce": cmd_a3m_reduce,
+    "a3m_extract": cmd_a3m_extract,
 }
 
 

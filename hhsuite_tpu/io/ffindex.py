@@ -50,6 +50,17 @@ class FFindexDatabase:
     def names(self) -> List[str]:
         return [e.name for e in self.entries]
 
+    def index_of(self, name: str) -> int:
+        """Position of ``name`` in index order, -1 if absent (pointer
+        arithmetic entry - entry_zero in a3m_compress.cpp:372-373)."""
+        e = self.by_name.get(name)
+        if e is None:
+            return -1
+        if not hasattr(self, "_index_pos"):
+            self._index_pos = {id(en): k
+                               for k, en in enumerate(self.entries)}
+        return self._index_pos[id(e)]
+
     def read_bytes(self, name_or_entry) -> bytes:
         e = (name_or_entry if isinstance(name_or_entry, FFindexEntry)
              else self.by_name[name_or_entry])

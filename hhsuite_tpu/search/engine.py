@@ -38,6 +38,14 @@ class HHDatabase:
         self.cs219 = self._open(base + "_cs219")
         self.a3m = self._open(base + "_a3m")
         self.hhm = self._open(base + "_hhm")
+        # compressed MSA database (checkAndBuildCompressedDatabase,
+        # hhdatabase.cpp:238-298): requires ca3m + sequence + header
+        self.ca3m = self._open(base + "_ca3m")
+        self.sequence = self._open(base + "_sequence")
+        self.header = self._open(base + "_header")
+        self.use_compressed = (self.ca3m is not None
+                               and self.sequence is not None
+                               and self.header is not None)
         if self.cs219 is None:
             raise FileNotFoundError(f"no cs219 database at {base}_cs219")
 
@@ -59,21 +67,60 @@ class HHDatabase:
     def get_template_hmm(self, name: str, par: Parameters,
                          mats: SubstitutionMatrix,
                          use_global_weights: int = 1) -> Tuple[HMM, int]:
-        """getTemplateHMM (hhdatabase.cpp:300-455): prefer hhm, else a3m."""
+        """getTemplateHMM (hhdatabase.cpp:300-455): prefer hhm, then
+        compressed a3m, then plain a3m."""
         if self.hhm is not None and name in self.hhm:
             text = self.hhm.read_text(name)
             return template_hmm_from_text(text, name, par, mats,
                                           use_global_weights)
+        if self.use_compressed and name in self.ca3m:
+            from ..core.profile import frequencies_and_transitions
+
+            ali = self._read_compressed(name)
+            ali.compress(M=par.M_template, Mgaps=par.Mgaps,
+                         maxres=par.maxres, infile=name)
+            ali.N_filtered = ali.filter(par.max_seqid_db, mats.S,
+                                        par.coverage_db, par.qid_db,
+                                        par.qsc_db, par.Ndiff_db)
+            t = HMM()
+            frequencies_and_transitions(ali, t, use_global_weights,
+                                        par.mark, par.cons, par.showcons,
+                                        mats.pb, mats.Sim)
+            return t, 0
         if self.a3m is not None and name in self.a3m:
             text = self.a3m.read_text(name)
             return template_hmm_from_text(text, name, par, mats,
                                           use_global_weights)
         raise KeyError(f"entry {name} not in database {self.base}")
 
+    def _read_compressed(self, name: str, mark: int = 0):
+        from ..io.ca3m import read_compressed
+
+        data = self.ca3m.read_bytes(name)
+        return read_compressed(name, data, self.sequence, self.header,
+                               mark=mark)
+
     def get_template_a3m_text(self, name: str) -> str:
+        if self.use_compressed and name in self.ca3m:
+            from ..io.ca3m import extract_a3m
+
+            return extract_a3m(self.ca3m.read_bytes(name), self.sequence,
+                               self.header)
         if self.a3m is not None and name in self.a3m:
             return self.a3m.read_text(name)
         raise KeyError(f"no a3m for entry {name}")
+
+    def get_template_alignment(self, name: str, par: Parameters):
+        """getTemplateA3M (hhdatabase.cpp:338-395): Alignment before
+        Compress, via ReadCompressed for ca3m databases."""
+        from ..core.alignment import Alignment
+
+        if self.use_compressed and name in self.ca3m:
+            return self._read_compressed(name, mark=par.mark)
+        text = self.get_template_a3m_text(name)
+        return Alignment.from_a3m_text(text, infile=name, mark=par.mark,
+                                       maxseq=par.maxseq,
+                                       nseqdis=par.nseqdis)
 
 
 def template_hmm_from_text(text: str, name: str, par: Parameters,

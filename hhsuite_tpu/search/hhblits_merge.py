@@ -135,11 +135,16 @@ def merge_hits_to_query(par: Parameters, qali: Alignment, hitlist: HitList,
         if premerged_hits is not None and key in premerged_hits:
             continue
 
-        text = db.get_template_a3m_text(str(hit.entry))
-        tali = Alignment.from_a3m_text(text, infile=str(hit.entry),
-                                       mark=par.mark, maxseq=par.maxseq,
-                                       nseqdis=par.nseqdis)
-        tali.compress(M=1, Mgaps=par.Mgaps, maxres=par.maxres)
+        if hasattr(db, "get_template_alignment"):
+            tali = db.get_template_alignment(str(hit.entry), par)
+        else:
+            text = db.get_template_a3m_text(str(hit.entry))
+            tali = Alignment.from_a3m_text(text, infile=str(hit.entry),
+                                           mark=par.mark,
+                                           maxseq=par.maxseq,
+                                           nseqdis=par.nseqdis)
+        tali.compress(M=par.M_template, Mgaps=par.Mgaps,
+                      maxres=par.maxres)
         tali.N_filtered = tali.filter(par.max_seqid_db, mats.S,
                                       par.coverage_db, par.qid_db,
                                       par.qsc_db, par.Ndiff_db)
