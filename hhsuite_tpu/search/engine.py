@@ -131,8 +131,18 @@ def template_hmm_from_text(text: str, name: str, par: Parameters,
     from ..core.profile import frequencies_and_transitions
 
     stripped = text.lstrip()
+    if stripped.startswith("HMMER3"):
+        from ..io.hmmer import read_hmmer3
+
+        t = read_hmmer3(text, showcons=par.showcons, pb=mats.pb,
+                        filestr=name, maxres=par.maxres)
+        return t, 1
     if stripped.startswith("HMMER"):
-        raise NotImplementedError("HMMER templates not supported yet")
+        from ..io.hmmer import read_hmmer2
+
+        t = read_hmmer2(text, showcons=par.showcons, pb=mats.pb,
+                        filestr=name, maxres=par.maxres)
+        return t, 1
     if stripped.startswith("HH") or stripped.startswith("NAME"):
         t = read_hhm(text, nseqdis=par.nseqdis, maxres=par.maxres)
         base = os.path.basename(name)

@@ -31,8 +31,20 @@ def read_query_text(par: Parameters, text: str, infile: str,
     if use_global_weights is None:
         use_global_weights = par.wg
     stripped = text.lstrip()
+    if stripped.startswith("HMMER3"):
+        from ..io.hmmer import read_hmmer3
+
+        q = read_hmmer3(text, showcons=par.showcons, pb=mats.pb,
+                        filestr=infile, maxres=par.maxres)
+        qali = _alignment_from_hmm(q, par)
+        return q, qali, 1
     if stripped.startswith("HMMER"):
-        raise NotImplementedError("HMMER input not supported yet")
+        from ..io.hmmer import read_hmmer2
+
+        q = read_hmmer2(text, showcons=par.showcons, pb=mats.pb,
+                        filestr=infile, maxres=par.maxres)
+        qali = _alignment_from_hmm(q, par)
+        return q, qali, 1
     if stripped.startswith("NAME") or stripped.startswith("HH"):
         q = read_hhm(text, nseqdis=par.nseqdis, maxres=par.maxres)
         qali = _alignment_from_hmm(q, par)
@@ -95,7 +107,9 @@ def prepare_query_hmm(par: Parameters, q: HMM, mats: SubstitutionMatrix,
         q.add_amino_acid_pseudocounts(0, par.pc_hhm_nocontext_a,
                                       par.pc_hhm_nocontext_b,
                                       par.pc_hhm_nocontext_c)
-    q.calculate_aa_background(mats.pb)
+    q.calculate_aa_background(getattr(q, "pb_hmmer", None)
+                              if getattr(q, "pb_hmmer", None) is not None
+                              else mats.pb)
     return q
 
 
@@ -115,8 +129,10 @@ def prepare_template_hmm(par: Parameters, q: HMM, t: HMM,
         t.add_amino_acid_pseudocounts(0, par.pc_hhm_nocontext_a,
                                       par.pc_hhm_nocontext_b,
                                       par.pc_hhm_nocontext_c)
-    t.calculate_aa_background(mats.pb)
+    pb_t = getattr(t, "pb_hmmer", None)
+    t.calculate_aa_background(pb_t if pb_t is not None else mats.pb)
     if linear_transition_probs:
         t.log2lin_transitions()
-    t.include_null_model(q, par.columnscore, mats.pb)
+    t.include_null_model(q, par.columnscore,
+                         pb_t if pb_t is not None else mats.pb)
     return t
