@@ -70,8 +70,10 @@ def hhfilter(text: str, infile: str = "stdin",
                  infile=infile)
     ali.N_filtered = ali.filter(par.max_seqid, mats.S, par.coverage,
                                 par.qid, par.qsc, par.Ndiff)
-    if par.Neff >= 1.0:
-        raise NotImplementedError("-neff target filtering")
+    if par.Neff >= 0.999:
+        ali.filter_neff(par.wg, par.mark, par.cons, par.showcons,
+                        par.max_seqid, par.coverage, par.Neff, mats.pb,
+                        mats.S, mats.Sim)
     return write_alignment_a3m(ali)
 
 

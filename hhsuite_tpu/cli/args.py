@@ -125,6 +125,10 @@ def parse_args(argv: List[str], par: Parameters) -> Parameters:
         elif a == "-t":
             i += 1
             tfiles.append(argv[i])
+        elif a in ("-Ofas", "-Oa2m", "-Oa3m"):
+            par.outformat = {"-Ofas": 1, "-Oa2m": 2, "-Oa3m": 3}[a]
+            i += 1
+            par.pairwisealisfile = argv[i]
         elif a == "-M":
             i += 1
             v = argv[i]

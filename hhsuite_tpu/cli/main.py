@@ -48,8 +48,19 @@ def _search_outputs(par, q, q_tmp, hitlist, qali, mats):
         _write(par.outfile, out)
     if par.m8file:
         _write(par.m8file, print_m8(q, hitlist, par.nseqdis, par.p, par.E))
+    if par.pairwisealisfile:
+        qp = getattr(q, "realign_q", q)
+        _write(par.pairwisealisfile,
+               print_alignments(qp, hitlist, par, mats.S,
+                                outformat=par.outformat))
     if par.scorefile:
         _write(par.scorefile, print_score_file(q, hitlist))
+    if par.alitabfile:
+        from ..io.results import write_alitab
+
+        _write(par.alitabfile,
+               write_alitab(q, hitlist, par.b, par.B, par.z, par.Z,
+                            par.p, par.E))
     if par.alnfile and qali is not None:
         _write(par.alnfile, write_alignment_a3m(qali), par.append)
     if par.psifile and qali is not None:

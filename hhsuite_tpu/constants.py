@@ -258,6 +258,7 @@ class Parameters:
     hhmfile: str = ""
     psifile: str = ""
     alitabfile: str = ""
+    pairwisealisfile: str = ""
     alisbasename: str = ""
     tfiles: Optional[List[str]] = None
     exclstr: Optional[str] = None

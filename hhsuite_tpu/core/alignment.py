@@ -562,6 +562,52 @@ class Alignment:
                                        max_seqid, Ndiff, S)
         return self.N_filtered
 
+    def filter_neff(self, use_global_weights, mark, cons, showcons,
+                    max_seqid, coverage, Neff, pb, S, Sim):
+        """Alignment::FilterNeff (hhalignment.cpp:1973-2028): shrink the
+        alignment's diversity to a target Neff by searching a -qsc
+        threshold with mixed bisection / linear interpolation."""
+        from .hmm import HMM
+        from .profile import frequencies_and_transitions
+
+        TOLX = 0.01
+        TOLY = 0.02
+        keep_orig = self.keep.copy()
+
+        def neff_of_current():
+            q = HMM()
+            frequencies_and_transitions(self, q, use_global_weights,
+                                        mark, cons, showcons, pb, Sim)
+            return q.Neff_HMM
+
+        def filter_by_qsc(x):
+            self.keep[:] = keep_orig
+            self.filter2(self.keep, coverage, 0, x, max_seqid + 1,
+                         max_seqid, 0, S)
+            return neff_of_current()
+
+        x0, x1 = -1.0, 4.0
+        x = 0.0
+        y = y0 = neff_of_current()
+        if abs(Neff - y0) < TOLY or y0 < Neff:
+            return
+        y1 = filter_by_qsc(x1)
+        if abs(Neff - y1) < TOLY:
+            return
+        while True:
+            if y1 == y0:
+                return
+            w = 0.5
+            x = (w * 0.5 * (x0 + x1)
+                 + (1 - w) * (x0 + (Neff - y0) * (x1 - x0) / (y1 - y0)))
+            y = filter_by_qsc(x)
+            if y > Neff:
+                x0, y0 = x, y
+            else:
+                x1, y1 = x, y
+            if not (abs(Neff - y) > TOLY and x1 - x0 > TOLX):
+                break
+
     def filter2(self, keep, coverage, qid, qsc, seqid1, seqid2, Ndiff, S):
         """Greedy max-diversity filter (hhalignment.cpp:1598-1963).
 

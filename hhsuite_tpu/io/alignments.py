@@ -387,10 +387,71 @@ class FullAlignment:
             out.append("")
         return "\n".join(out) + "\n"
 
+    def _print_a2m_half(self, ha, showcons, showdssp, showpred,
+                        aliwidth, transform=None) -> str:
+        """One half of PrintA2M (hhfullalignment.cpp:401-449): wrap at
+        aliwidth with the reference's newline-before-char loop; stop at
+        the terminating NUL column."""
+        out = []
+        for k in range(ha.n):
+            if k == ha.nsa_dssp:
+                continue
+            if k == ha.nss_dssp and not showdssp:
+                continue
+            if k in (ha.nss_pred, ha.nss_conf) and not showpred:
+                continue
+            if k == ha.ncons and not showcons:
+                continue
+            out.append(">" + ha.sname[k] + "\n")
+            chars = []
+            hh = -aliwidth
+            for c in ha.s[k]:
+                if c == "\0":
+                    break
+                if transform is not None:
+                    c = transform(c)
+                    if c is None:
+                        continue
+                if hh == 0:
+                    chars.append("\n")
+                    hh -= aliwidth
+                chars.append(c)
+                hh += 1
+            out.append("".join(chars) + "\n")
+        return "".join(out)
+
+    def print_a2m(self, showcons, showdssp, showpred, aliwidth,
+                  transform=None) -> str:
+        """FullAlignment::PrintA2M (hhfullalignment.cpp:401-449)."""
+        return (self._print_a2m_half(self.qa, showcons, showdssp,
+                                     showpred, aliwidth, transform)
+                + self._print_a2m_half(self.ta, showcons, showdssp,
+                                       showpred, aliwidth, transform)
+                + "\n")
+
+    def print_fasta(self, showcons, showdssp, showpred, aliwidth) -> str:
+        """PrintFASTA: uppercase, '.' -> '-'
+        (hhfullalignment.cpp:454-459 + HalfAlignment::ToFASTA)."""
+        def tf(c):
+            return "-" if c == "." else c.upper()
+
+        return self.print_a2m(showcons, showdssp, showpred, aliwidth, tf)
+
+    def print_a3m(self, showcons, showdssp, showpred, aliwidth) -> str:
+        """PrintA3M: drop '.' (hhfullalignment.cpp:464-469)."""
+        def tf(c):
+            return None if c == "." else c
+
+        return self.print_a2m(showcons, showdssp, showpred, aliwidth, tf)
+
 
 def print_alignments(q: HMM, hitlist, par, S: np.ndarray,
                      outformat: int = 0) -> str:
-    """HitList::PrintAlignments (hhhitlist.cpp:179-228)."""
+    """HitList::PrintAlignments (hhhitlist.cpp:179-228).
+
+    outformat 0 = hhr blocks, 1 = FASTA, 2 = A2M, 3 = A3M
+    (FullAlignment::PrintFASTA/PrintA2M/PrintA3M,
+    hhfullalignment.cpp:401-469)."""
     out = ""
     nhits = 0
     for hit in hitlist:
@@ -408,4 +469,13 @@ def print_alignments(q: HMM, hitlist, par, S: np.ndarray,
             out += fa.print_header(q, hit)
             out += fa.print_hhr(hit, par.showconf, par.showcons,
                                 par.showdssp, par.showpred, par.aliwidth)
+        elif outformat == 1:
+            out += fa.print_fasta(par.showcons, par.showdssp,
+                                  par.showpred, par.aliwidth)
+        elif outformat == 2:
+            out += fa.print_a2m(par.showcons, par.showdssp, par.showpred,
+                                par.aliwidth)
+        else:
+            out += fa.print_a3m(par.showcons, par.showdssp, par.showpred,
+                                par.aliwidth)
     return out

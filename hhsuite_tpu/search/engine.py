@@ -213,7 +213,8 @@ def perform_realign(par: Parameters, q_realign: HMM, hitlist: HitList,
         to_exclude: List[MACBacktraceResult] = []
         for hit in group:
             co = build_realign_cell_off(q_realign, t, hit,
-                                        par.min_overlap, to_exclude)
+                                        par.min_overlap, to_exclude,
+                                        par.exclstr, par.template_exclstr)
             decoder.realign(q_realign, t, hit, co, par.shift, par.mact,
                             par.corr)
             to_exclude.append(MACBacktraceResult(hit.alt_i, hit.alt_j))
@@ -296,7 +297,8 @@ def premerge_hits(par: Parameters, q_re: HMM, qali, hitlist: HitList,
         t, fmt = get_template(hit.entry)
         t.log2lin_transitions()
         prepare_template_transitions(t)
-        co = build_realign_cell_off(q_re, t, hit, par.min_overlap, [])
+        co = build_realign_cell_off(q_re, t, hit, par.min_overlap, [],
+                                    par.exclstr, par.template_exclstr)
         decoder.realign(q_re, t, hit, co, par.shift, par.mact, par.corr)
 
         # merge the realigned hit into the query MSA (single-hit
@@ -414,6 +416,9 @@ def run_hhsearch(par: Parameters, query_text: str, db: HHDatabase,
     if par.realign:
         perform_realign(par, q_re, hitlist, get_template, mats, ss,
                         min_col_realign=MINCOLS_REALIGN)
+    # the reference's writers other than the hhr file (which uses the
+    # round-start q_tmp) see the premerge-mutated q (hhblits.cpp:1838+)
+    q.realign_q = q_re
     return q, hitlist
 
 

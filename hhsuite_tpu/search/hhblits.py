@@ -119,6 +119,7 @@ def run_hhblits(par: Parameters, query_text: str, db: HHDatabase,
         if par.realign:
             perform_realign(par, q_re, hitlist, get_template, mats, ss,
                             MINCOLS_REALIGN)
+        q.realign_q = q_re
 
         # q for the hhr writer is the round-start HMM (writeHHRFile uses
         # q_tmp, hhblits.cpp:1816-1822); the merged rebuild below feeds

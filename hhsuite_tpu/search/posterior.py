@@ -57,8 +57,33 @@ def _score_ss_single(q, t, i, j, ssw, ssm, S73, S37, S33):
     return 0.0
 
 
+def _parse_excl_pairs(exclstr: str):
+    """strint pairs from '3-57,238-317' style strings (the reference
+    uses strint, which skips any non-digit separators)."""
+    import re
+
+    nums = [abs(int(x)) for x in re.findall(r"-?\d+", exclstr)]
+    return list(zip(nums[0::2], nums[1::2]))
+
+
+def apply_exclstr(co: np.ndarray, exclstr: Optional[str],
+                  template_exclstr: Optional[str], Lq: int, Lt: int):
+    """PosteriorDecoder::exclude_regions / exclude_template_regions
+    (hhposteriordecoder.cpp:122-152): mask query rows i0..i1 /
+    template columns j0..j1 from the realignment."""
+    if exclstr:
+        for i0, i1 in _parse_excl_pairs(exclstr):
+            co[i0: min(i1, Lq) + 1, 1: Lt + 1] = True
+    if template_exclstr:
+        for j0, j1 in _parse_excl_pairs(template_exclstr):
+            co[1: Lq + 1, j0: min(j1, Lt) + 1] = True
+    return co
+
+
 def build_realign_cell_off(q: HMM, t: HMM, hit: Hit, par_min_overlap: int,
-                           alignments_to_exclude: List[MACBacktraceResult]
+                           alignments_to_exclude: List[MACBacktraceResult],
+                           exclstr: Optional[str] = None,
+                           template_exclstr: Optional[str] = None
                            ) -> np.ndarray:
     """initializeForAlignment + maskViterbiAlignment + excludeMACAlignment
     (hhposteriordecoder.cpp:162-265, hhviterbi.cpp:322-357)."""
@@ -99,6 +124,7 @@ def build_realign_cell_off(q: HMM, t: HMM, hit: Hit, par_min_overlap: int,
         for ii, jj in zip(al.alt_i, al.alt_j):
             co[max(ii - 2, 1): min(ii + 2, Lq) + 1, jj] = True
             co[ii, max(jj - 2, 1): min(jj + 2, Lt) + 1] = True
+    apply_exclstr(co, exclstr, template_exclstr, Lq, Lt)
     return co
 
 

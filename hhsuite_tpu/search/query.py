@@ -58,6 +58,10 @@ def read_query_text(par: Parameters, text: str, infile: str,
                                par.qid, par.qsc, par.nseqdis)
         ali.N_filtered = ali.filter(par.max_seqid, mats.S, par.coverage,
                                     par.qid, par.qsc, par.Ndiff)
+        if par.Neff >= 0.999:
+            ali.filter_neff(use_global_weights, par.mark, par.cons,
+                            par.showcons, par.max_seqid, par.coverage,
+                            par.Neff, mats.pb, mats.S, mats.Sim)
         q = HMM(maxseqdis=maxseqdis)
         frequencies_and_transitions(ali, q, use_global_weights, par.mark,
                                     par.cons, par.showcons, mats.pb, mats.Sim)

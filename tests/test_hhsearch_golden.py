@@ -137,3 +137,19 @@ def test_alitab_file(search_result):
     assert len(gl) == len(wl)
     exact = sum(1 for a, b in zip(gl, wl) if a == b)
     assert exact / len(wl) > 0.97
+
+
+@pytest.mark.parametrize("fmt,name", [(1, "fas"), (2, "a2m"), (3, "a3m")])
+def test_pairwise_formats_byte_identical(search_result, fmt, name):
+    """-Ofas/-Oa2m/-Oa3m outputs (PrintFASTA/PrintA2M/PrintA3M) against
+    reference-generated goldens; these writers see the premerge-mutated
+    query profile (realign_q)."""
+    from hhsuite_tpu.io.alignments import print_alignments
+
+    par, q, hitlist = search_result
+    mats = get_substitution_matrix(0)
+    got = print_alignments(q.realign_q, hitlist, par, mats.S,
+                           outformat=fmt)
+    with open(f"{FIX}/golden_hhsearch_O{name}.txt") as f:
+        want = f.read()
+    assert got == want

@@ -60,3 +60,16 @@ def test_hhmake_pipeline(query):
             assert a != "*" and b != "*", (g, w)
             assert abs(int(a) - int(b)) <= 1, (g, w)
     assert exact / len(wl) > 0.95
+
+
+def test_hhfilter_neff_byte_identical():
+    """-neff target diversity filter (FilterNeff bisection) vs reference
+    hhfilter -neff 3 output."""
+    from hhsuite_tpu.apps import hhfilter
+
+    with open(f"{FIX}/query.a3m") as f:
+        text = f.read()
+    out = hhfilter(text, "query.a3m", Neff=3.0)
+    with open(f"{FIX}/golden_neff3.a3m") as f:
+        want = f.read()
+    assert out == want
