@@ -32,6 +32,7 @@ _VALUE_FLAGS = {
     "-blasttab": ("m8file", str),
     "-scores": ("scorefile", str),
     "-atab": ("alitabfile", str),
+    "-omat": ("matrices_output_file", str),
     "-oalis": ("alisbasename", str),
     "-n": ("num_rounds", _i),
     "-v": ("v", _i),
@@ -92,6 +93,7 @@ _VALUE_FLAGS = {
 
 _BOOL_FLAGS = {
     "-nocontxt": ("nocontxt", True),
+    "-filter_matrices": ("filter_matrices", True),
     "-glob": ("loc", 0),
     "-global": ("loc", 0),
     "-loc": ("loc", 1),

@@ -61,6 +61,17 @@ def _search_outputs(par, q, q_tmp, hitlist, qali, mats):
         _write(par.alitabfile,
                write_alitab(q, hitlist, par.b, par.B, par.z, par.Z,
                             par.p, par.E))
+    if par.matrices_output_file:
+        from ..io.results import print_matrices
+
+        data = print_matrices(getattr(q, "realign_q", q), hitlist,
+                              par.filter_matrices,
+                              par.max_number_matrices, mats.S)
+        if par.matrices_output_file == "stdout":
+            sys.stdout.buffer.write(data)
+        else:
+            with open(par.matrices_output_file, "wb") as f:
+                f.write(data)
     if par.alnfile and qali is not None:
         _write(par.alnfile, write_alignment_a3m(qali), par.append)
     if par.psifile and qali is not None:

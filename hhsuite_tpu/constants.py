@@ -219,6 +219,8 @@ class Parameters:
     min_prefilter_hits: int = 100
 
     max_number_matrices: int = 100
+    matrices_output_file: str = ""
+    filter_matrices: bool = False
 
     csb: float = 0.85
     csw: float = 1.6

@@ -21,6 +21,8 @@ import numpy as np
 from .. import fastmath as fm
 from ..constants import LAMDA_GLOB
 
+MM = 2   # pair-state code (hhhmm.h)
+
 LOG1000 = math.log(1000.0)
 
 # --- EVD neural net weights (hhhitlist-inl.h:27-105) ---
@@ -250,6 +252,30 @@ class Hit:
     def sort_key(self):
         """operator< (hhhit.h:122-133): ascending score_sort, then file."""
         return (self.score_sort, self.file)
+
+    def calculate_similarity(self, q, S) -> float:
+        """Hit::calculateSimilarity (hhhit.cpp:127-164) for the -omat
+        header.  Preserves the reference's off-by-one: mappings are
+        0-based residue strings indexed with the 1-based alignment
+        coordinates (the out-of-range read at the last column becomes a
+        zero contribution here)."""
+        from ..core.alignment import AA2I_TABLE
+
+        tmap = [c for c in self.seq[self.nfirst][1:]
+                if c != "." and not c.islower()]
+        qmap = [c for c in q.seq[q.nfirst][1:]
+                if c != "." and not c.islower()]
+        sim = 0.0
+        for step in range(self.nsteps, 0, -1):
+            if self.states[step] == MM:
+                ii, jj = int(self.i[step]), int(self.j[step])
+                qc = qmap[ii] if ii < len(qmap) else "\0"
+                tc = tmap[jj] if jj < len(tmap) else "\0"
+                qa = AA2I_TABLE[ord(qc) & 0xFF]
+                ta = AA2I_TABLE[ord(tc) & 0xFF]
+                if 0 <= qa < 20 and 0 <= ta < 20:
+                    sim += float(S[qa, ta])
+        return sim / max(self.matched_cols, 1)
 
 
 class HitList:

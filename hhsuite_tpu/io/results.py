@@ -10,6 +10,8 @@ from __future__ import annotations
 import time
 from typing import List, Optional
 
+import numpy as np
+
 from ..core.hit import Hit, HitList
 from ..core.hmm import HMM
 
@@ -200,3 +202,120 @@ def write_alitab(q: HMM, hitlist: HitList, b=10, B=500, z=10, Z=500,
                                   hit.S_ss[step]))
         nhits += 1
     return "\n".join(out) + ("\n" if out else "")
+
+
+# --------------------------------------------------------------- -omat ----
+
+def _float_to_8_bit(x: float) -> int:
+    """4-bit-exponent/4-bit-mantissa minifloat (hhutil.cpp:69-89)."""
+    import struct
+
+    bits = struct.unpack("<I", struct.pack("<f", float(np.float32(x))))[0]
+    e = (bits & 0x7F800000) - 939524096
+    e = (e & 0x07800000) >> 19
+    m = (bits & 0x00780000) >> 19
+    return (e | m) & 0xFF
+
+
+def _u16be(v: int) -> bytes:
+    return bytes([(v >> 8) & 0xFF, v & 0xFF])
+
+
+def _sparse_block(entries) -> bytes:
+    """Run-encoded sparse matrix block (hhhitlist.cpp:729-816):
+    (u16 i, u16 j) header whenever a new run starts, then one minifloat
+    byte per consecutive-j cell; 0x00 run terminator; u16 0 end."""
+    out = bytearray()
+    last_i = last_j = -1
+    for (i, j, v) in entries:
+        if last_i != i or last_j + 1 != j:
+            if last_i != -1:
+                out.append(0)
+            out += _u16be(i)
+            out += _u16be(j)
+        out.append(_float_to_8_bit(v))
+        last_i, last_j = i, j
+    out.append(0)
+    out += _u16be(0)
+    return bytes(out)
+
+
+def print_matrices(q: HMM, hitlist: HitList, filter_matrices: bool,
+                   max_number_matrices: int, S) -> bytes:
+    """HitList::PrintMatrices (hhhitlist.cpp:558-818): binary posterior /
+    forward / backward sparse matrices for downstream modelling tools."""
+    protein_max_length = 4000
+    if q.L >= protein_max_length:
+        return b""
+    tolerance = 0.10
+    hits = []
+    for hit in hitlist:
+        if getattr(hit, "forward_profile", None) is None or \
+                getattr(hit, "backward_profile", None) is None:
+            continue
+        fsum = float(hit.forward_profile[1: q.L + 1].sum())
+        bsum = float(hit.backward_profile[1: q.L + 1].sum())
+        if (1.0 - tolerance < fsum < 1.0 + tolerance
+                and 1.0 - tolerance < bsum < 1.0 + tolerance
+                and len(hit.forward_matrix) > 0
+                and len(hit.backward_matrix) > 0
+                and len(hit.posterior_matrix) > 0):
+            hits.append(hit)
+
+    picked = [True] * len(hits)
+    chosen = len(hits)
+    prob_thr = 20
+    for i1 in range(len(hits) - 1, -1, -1):
+        it = hits[i1]
+        if it.Probab < prob_thr or it.L >= protein_max_length:
+            picked[i1] = False
+            chosen -= 1
+        elif picked[i1]:
+            for i2 in range(i1 - 1, -1, -1):
+                c = hits[i2]
+                if (picked[i2] and it.name == c.name
+                        and it.irep == c.irep) or it.Probab < prob_thr:
+                    picked[i2] = False
+                    chosen -= 1
+
+    if filter_matrices and hits:
+        n = len(hits)
+        sim = np.zeros((n, n))
+        for k in range(n):
+            sim[k, k] = 1.0
+            for kk in range(k + 1, n):
+                a, b = hits[k], hits[kk]
+                v = float(np.sum(
+                    np.sqrt(a.forward_profile[1: q.L + 1]
+                            * b.forward_profile[1: q.L + 1])
+                    + np.sqrt(a.backward_profile[1: q.L + 1]
+                              * b.backward_profile[1: q.L + 1]))) / 2.0
+                sim[k, kk] = sim[kk, k] = v
+        while chosen > max_number_matrices:
+            max_val, max_idx = 0.0, 0
+            for k in range(n):
+                ssum = sum(sim[k, kp] for kp in range(n)
+                           if picked[kp] and picked[k])
+                if ssum > max_val:
+                    max_val, max_idx = ssum, k
+            picked[max_idx] = False
+            chosen -= 1
+
+    if chosen == 0:
+        return b""
+
+    out = bytearray()
+    out += q.name.encode() + b"\x00"
+    out += _u16be(q.L)
+    for idx, hit in enumerate(hits):
+        if not picked[idx]:
+            continue
+        out += hit.name.encode() + b"\x00"
+        out += _u16be(hit.L)
+        out.append(int(hit.Probab) & 0xFF)
+        simv = int(hit.calculate_similarity(q, S) * 10) & 0xFFFF
+        out += _u16be(simv)
+        out += _sparse_block(hit.backward_matrix)
+        out += _sparse_block(hit.forward_matrix)
+        out += _sparse_block(hit.posterior_matrix)
+    return bytes(out)

@@ -184,6 +184,31 @@ class PosteriorDecoder:
          hit.logPval, hit.logPvalt, hit.Eval, hit.logEval,
          hit.Probab) = saved
         hit.P_MM = p_mm    # posterior matrix (for -omat output)
+
+        # writeProfilesToHits (hhbacktracemac.cpp:14-109): sparse
+        # forward/backward/posterior triples and per-row profiles
+        hit.backward_matrix = self._backward_entries
+        hit.forward_matrix = self._forward_entries
+        fp = np.zeros(q.L + 1)
+        bp = np.zeros(q.L + 1)
+        for (i, j, v) in self._forward_entries:
+            fp[i] += v
+        for (i, j, v) in self._backward_entries:
+            bp[i] += v
+        hit.forward_profile = fp
+        hit.backward_profile = bp
+        post = []
+        PT = 0.01          # POSTERIOR_PROBABILITY_THRESHOLD (hhdecl.h:49)
+        for i in range(1, q.L + 1):
+            row = p_mm[i]
+            # cell_off now includes the MAC-backtrace path exclusions,
+            # like the reference at writeProfilesToHits time
+            mask = (row[1:] >= PT) & ~co[i, 1: t.L + 1]
+            for j in np.nonzero(mask)[0]:
+                v = row[int(j) + 1]
+                if np.isfinite(v):
+                    post.append((i, int(j) + 1, float(v)))
+        hit.posterior_matrix = post
         return p_mm
 
     def _forward(self, q, t, hit, p_mm, co, shift, scale):
@@ -300,6 +325,24 @@ class PosteriorDecoder:
             score -= math.log(Lt * Lq) / LAMDA + 14.0
         hit.score = score
 
+        # sparse forward triples for -omat (hhforwardalgorithm.cpp:
+        # 185-220): rescale row-i forward values to final scaling
+        THR = 1e-4
+        fwd = []
+        scale_prod_curr = 1.0
+        for i in range(1, Lq + 1):
+            if scale_prod_curr < DBL_MIN * 100:
+                scale_prod_curr = 0.0
+            else:
+                scale_prod_curr *= scale[i]
+            if scale_prod_curr == 0.0:
+                continue
+            scale_rate = (scale_prod * scale[Lq + 1]) / scale_prod_curr
+            vals = p_mm[i, 1:] / Pforward * scale_rate
+            for j in np.nonzero(vals > THR)[0]:
+                fwd.append((i, int(j) + 1, float(vals[j])))
+        self._forward_entries = fwd
+
     def _backward(self, q, t, hit, p_mm, co, shift, scale):
         """hhbackwardalgorithm.cpp (double precision)."""
         Lq, Lt = q.L, t.L
@@ -322,6 +365,12 @@ class PosteriorDecoder:
 
         pmin = scale[Lq + 1] if self.local else 0.0
         scale_prod = scale[Lq + 1]
+        final_scale_prod = scale[Lq + 1]
+        for i in range(Lq - 1, 0, -1):
+            final_scale_prod *= scale[i + 1]
+            if final_scale_prod < DBL_MIN * 100:
+                final_scale_prod = 0.0
+        bwd = []
 
         for i in range(Lq - 1, 0, -1):
             jmin = 1
@@ -367,7 +416,18 @@ class PosteriorDecoder:
                                 * scale[i + 1])
             for jj in range(jmin, Lt):
                 p_mm[i, jj] *= curr[jj, MMc] / hit.Pforward
+            # sparse backward triples for -omat
+            # (hhbackwardalgorithm.cpp:111-122)
+            if final_scale_prod != 0.0 and scale_prod != 0.0:
+                for j in range(jmin, Lt):
+                    if row_co[j] or curr[j, MMc] == 0.0:
+                        continue
+                    val = (probfwd(i, j) * Cshift * curr[j, MMc]
+                           / hit.Pforward * final_scale_prod / scale_prod)
+                    if val > 1e-4:
+                        bwd.append((i, j, float(val)))
             prev = curr
+        self._backward_entries = sorted(bwd)
 
     def _mac(self, q, t, hit, p_mm, co, mact) -> np.ndarray:
         """hhmacalgorithm.cpp (float32 S values like the reference)."""
