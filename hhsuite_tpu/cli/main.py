@@ -407,6 +407,18 @@ def cmd_a3m_extract(argv: List[str]) -> int:
     return 0
 
 
+def cmd_hhsuitedb(argv: List[str]) -> int:
+    from ..tools.hhsuitedb import main as hhsuitedb_main
+
+    return hhsuitedb_main(argv)
+
+
+def cmd_hhblits_batch(argv: List[str]) -> int:
+    from ..tools.batch import main as batch_main
+
+    return batch_main(argv)
+
+
 def cmd_ffindex_from_fasta(argv: List[str]) -> int:
     """FASTA -> ffindex of full records (lib/ffindex/src/
     ffindex_from_fasta.c); -n names entries 1..N instead of by first
@@ -459,6 +471,8 @@ COMMANDS = {
     "a3m_database_filter": cmd_a3m_database_filter,
     "a3m_reduce": cmd_a3m_reduce,
     "a3m_extract": cmd_a3m_extract,
+    "hhsuitedb": cmd_hhsuitedb,
+    "hhblits_batch": cmd_hhblits_batch,
 }
 
 

@@ -137,6 +137,36 @@ def score_for_backtrace(q: HMM, t: HMM, align_score: float,
     return float(score), float(score_ss), S, S_ss
 
 
+def calculate_early_stop(par: Parameters, q: HMM,
+                         junk_hits: List[Hit]) -> float:
+    """ViterbiRunner::calculateEarlyStop (hhviterbirunner.cpp:213-247):
+    sum of 1/(1+E) over a scored block; the block loop stops when this
+    falls below block_size * par.filter_thresh."""
+    import math
+
+    from ..core.hit import lamda_nn, log_pvalue, mu_nn
+
+    total = 0.0
+    LOG1000 = math.log(1000.0)
+    log_dbsize = math.log(max(par.dbsize, 1))
+    log_pcut = math.log(par.prefilter_evalue_thresh / max(par.dbsize, 1))
+    q_len = math.log(q.L) / LOG1000
+    q_neff = q.Neff_HMM / 10.0
+    for h in junk_hits:
+        hit_len = math.log(max(h.L, 1)) / LOG1000
+        hit_neff = h.Neff_HMM / 10.0
+        lam = float(lamda_nn(q_len, hit_len, q_neff, hit_neff)[0])
+        mu = float(mu_nn(q_len, hit_len, q_neff, hit_neff)[0])
+        logp = float(log_pvalue(h.score, lam, mu))
+        alpha = 0.0
+        if par.prefilter:
+            alpha = par.alphaa + par.alphab * (hit_neff - 1) \
+                * (1 - par.alphac * (q_neff - 1))
+        eval_ = math.exp(logp + log_dbsize + alpha * log_pcut)
+        total += 1.0 / (1.0 + eval_)
+    return total
+
+
 def _on_tpu() -> bool:
     import jax
 
@@ -186,15 +216,9 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
     alive = list(range(len(templates)))
     tmpl_list = [t for _, t in templates]
 
-    for alignment in range(par.altali):
-        if not alive:
-            break
-        # sort by length desc (reference sorts for thread utilization;
-        # here it makes padded batches tight)
-        alive.sort(key=lambda idx: -tmpl_list[idx].L)
-        next_alive: List[int] = []
-        for bstart in range(0, len(alive), batch_size):
-            idxs = alive[bstart: bstart + batch_size]
+    def _run_junk(junk):
+        for bstart in range(0, len(junk), batch_size):
+            idxs = junk[bstart: bstart + batch_size]
             batch = [tmpl_list[i] for i in idxs]
             Lt_max = max(t.L for t in batch)
             tp, ttr, t_L = pack_templates(batch, Lt_max)
@@ -210,6 +234,16 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                     V.exclude_alignment_mask(cell_off[b], pi, pj,
                                              Lq, tmpl_list[i].L)
                     any_co = True
+            if par.exclstr or par.template_exclstr:
+                # region masks also apply to the Viterbi stage
+                # (hhviterbirunner.cpp:156-165)
+                from .posterior import apply_exclstr
+
+                for b, i in enumerate(idxs):
+                    apply_exclstr(cell_off[b], par.exclstr,
+                                  par.template_exclstr, Lq,
+                                  tmpl_list[i].L)
+                any_co = True
 
             ss_batch = None
             if ss_hmm_mode != NO_SS_INFORMATION:
@@ -264,5 +298,29 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                     next_alive.append(tid)
                     exclude.setdefault(tid, []).append(
                         (i_steps.copy(), j_steps.copy()))
+
+    for alignment in range(par.altali):
+        if not alive:
+            break
+        next_alive: List[int] = []
+        # early-stopping block scheduling (hhviterbirunner.cpp:109-192):
+        # in the first alignment pass, score prefilter-ordered blocks of
+        # 2000 and stop once a block's quality sum drops below cutoff
+        n_all = len(alive)
+        block = 2000 if (alignment == 0 and par.early_stopping_filter) \
+            else max(n_all, 1)
+        for jstart in range(0, n_all, block):
+            junk = alive[jstart: jstart + block]
+            # sort by length desc within the block (reference sorts for
+            # thread utilization; here it makes padded batches tight)
+            junk.sort(key=lambda idx: -tmpl_list[idx].L)
+            junk_hit_start = len(hits)
+            _run_junk(junk)
+            if alignment == 0 and par.early_stopping_filter:
+                junk_hits = hits[junk_hit_start:]
+                es = calculate_early_stop(par, q, junk_hits)
+                if es < len(junk) * par.filter_thresh:
+                    break
         alive = next_alive
     return hits
+

@@ -1,0 +1,155 @@
+"""Batch search driver: many queries from an input ffindex.
+
+Equivalent of hhblits_omp (src/hhblits_omp.cpp:122-164): every entry of
+the input ffindex is searched independently and the requested outputs
+are collected into shared output ffindex databases keyed by entry name.
+
+The reference parallelizes with one OpenMP thread per query and a
+critical section around the shard writers; here queries fan out over a
+process pool (the TPU device is a serialized resource, so on-device
+Viterbi batches from different queries interleave through the single
+JAX client in the parent when running single-process, which is the
+default on TPU; CPU runs default to a pool).  hhblits_mpi's
+multi-host variant maps to running this driver once per host on an
+index shard and merging the shard outputs (ffmerge_splits semantics) —
+see parallel/dist.py for the device-mesh story.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Dict, List, Optional, Tuple
+
+
+def _run_one(args):
+    (name, text, db_base, par_dict, mode) = args
+    import jax
+
+    if jax.devices()[0].platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    from ..apps import write_alignment_a3m
+    from ..constants import Parameters
+    from ..io.alignments import print_alignments
+    from ..io.results import print_hit_list, print_m8
+    from ..matrices import get_substitution_matrix
+    from ..search.engine import HHDatabase, run_hhsearch
+    from ..search.hhblits import run_hhblits
+
+    par = (Parameters.hhblits_defaults() if mode == "hhblits"
+           else Parameters.hhsearch_defaults())
+    for k, v in par_dict.items():
+        setattr(par, k, v)
+    db = HHDatabase(db_base)
+    mats = get_substitution_matrix(par.matrix)
+    qali = None
+    if mode == "hhblits":
+        q, hitlist, qali = run_hhblits(par, text, db, name)
+    else:
+        q, hitlist = run_hhsearch(par, text, db, name)
+    outputs: Dict[str, bytes] = {}
+    hhr = (print_hit_list(q, hitlist, par.maxdbstrlen, par.z, par.Z,
+                          par.p, par.E, ["hhblits_batch"])
+           + print_alignments(q, hitlist, par, mats.S))
+    outputs["hhr"] = hhr.encode()
+    outputs["m8"] = print_m8(q, hitlist, par.nseqdis, par.p,
+                             par.E).encode()
+    if qali is not None:
+        outputs["a3m"] = write_alignment_a3m(qali).encode()
+    return name, outputs
+
+
+def run_batch(in_base: str, db_base: str, out_base: str,
+              mode: str = "hhblits", par_overrides: Optional[dict] = None,
+              threads: int = 0, log=print) -> None:
+    """Search every entry of <in_base>.ff{data,index} against db_base and
+    write <out_base>_{hhr,m8[,a3m]}.ff{data,index} shards."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    from ..io.ffindex import FFindexDatabase, FFindexWriter
+
+    src = FFindexDatabase(in_base + ".ffdata", in_base + ".ffindex")
+    par_dict = dict(par_overrides or {})
+    jobs = [(e.name, src.read_text(e), db_base, par_dict, mode)
+            for e in src.entries]
+
+    import jax
+
+    on_tpu = any(d.platform != "cpu" for d in jax.devices())
+    nproc = 1 if on_tpu else (threads or min(os.cpu_count() or 1, 8))
+    if nproc > 1 and len(jobs) > 1:
+        with ProcessPoolExecutor(max_workers=nproc) as ex:
+            results = list(ex.map(_run_one, jobs))
+    else:
+        results = [_run_one(j) for j in jobs]
+
+    writers: Dict[str, FFindexWriter] = {}
+    try:
+        for name, outputs in results:
+            for kind, payload in outputs.items():
+                if kind not in writers:
+                    writers[kind] = FFindexWriter(
+                        f"{out_base}_{kind}.ffdata",
+                        f"{out_base}_{kind}.ffindex")
+                writers[kind].add(name, payload)
+    finally:
+        for w in writers.values():
+            w.close()
+    log(f"Batch {mode}: {len(results)} queries -> {out_base}_*")
+
+
+def merge_shards(out_base: str, shard_bases: List[str],
+                 kinds=("hhr", "m8", "a3m")) -> None:
+    """ffmerge_splits semantics (src/hhblits_mpi.cpp:83-93): concatenate
+    per-rank output shards into one database per kind."""
+    from ..io.ffindex import FFindexDatabase, FFindexWriter
+
+    for kind in kinds:
+        shards = []
+        for base in shard_bases:
+            data = f"{base}_{kind}.ffdata"
+            index = f"{base}_{kind}.ffindex"
+            if os.path.exists(data) and os.path.exists(index):
+                shards.append(FFindexDatabase(data, index))
+        if not shards:
+            continue
+        with FFindexWriter(f"{out_base}_{kind}.ffdata",
+                           f"{out_base}_{kind}.ffindex") as w:
+            for db in shards:
+                for name, payload in db.items():
+                    w.add(name, payload)
+
+
+def main(argv: List[str]) -> int:
+    in_base = db_base = out_base = None
+    mode = "hhblits"
+    threads = 0
+    par_overrides: dict = {"nocontxt": True}
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "-i":
+            i += 1
+            in_base = argv[i]
+        elif a == "-d":
+            i += 1
+            db_base = argv[i]
+        elif a == "-o":
+            i += 1
+            out_base = argv[i]
+        elif a == "-n":
+            i += 1
+            par_overrides["num_rounds"] = int(argv[i])
+        elif a == "-cpu":
+            i += 1
+            threads = int(argv[i])
+        elif a == "-hhsearch":
+            mode = "hhsearch"
+        i += 1
+    if not in_base or not db_base or not out_base:
+        print("hhblits_batch -i <query ffindex base> -d <db base> "
+              "-o <out base> [-n rounds] [-cpu N] [-hhsearch]",
+              file=sys.stderr)
+        return 4
+    run_batch(in_base, db_base, out_base, mode, par_overrides, threads)
+    return 0
