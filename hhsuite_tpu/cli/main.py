@@ -419,6 +419,12 @@ def cmd_hhblits_batch(argv: List[str]) -> int:
     return batch_main(argv)
 
 
+def cmd_reformat(argv: List[str]) -> int:
+    from ..tools.reformat import main as reformat_main
+
+    return reformat_main(argv)
+
+
 def cmd_ffindex_from_fasta(argv: List[str]) -> int:
     """FASTA -> ffindex of full records (lib/ffindex/src/
     ffindex_from_fasta.c); -n names entries 1..N instead of by first
@@ -473,6 +479,7 @@ COMMANDS = {
     "a3m_extract": cmd_a3m_extract,
     "hhsuitedb": cmd_hhsuitedb,
     "hhblits_batch": cmd_hhblits_batch,
+    "reformat": cmd_reformat,
 }
 
 
