@@ -74,6 +74,10 @@ def _search_outputs(par, q, q_tmp, hitlist, qali, mats):
                 f.write(data)
     if par.alnfile and qali is not None:
         _write(par.alnfile, write_alignment_a3m(qali), par.append)
+    if par.alisbasename:
+        for rnd, ali in getattr(q, "alis", {}).items():
+            _write(f"{par.alisbasename}_{rnd}.a3m",
+                   write_alignment_a3m(ali), par.append)
     if par.psifile and qali is not None:
         _write(par.psifile, write_alignment_psi(qali), par.append)
     if par.hhmfile:
@@ -419,6 +423,123 @@ def cmd_hhblits_batch(argv: List[str]) -> int:
     return batch_main(argv)
 
 
+def cmd_ffindex_apply(argv: List[str]) -> int:
+    """Run a command over every entry (lib/ffindex/src/
+    ffindex_apply_mpi.c serial mode): entry data on stdin, stdout
+    captured into the output database."""
+    import subprocess
+
+    from ..io.ffindex import FFindexDatabase, FFindexWriter
+
+    out_data = out_index = None
+    rest = list(argv)
+    if "-d" in rest:
+        k = rest.index("-d")
+        out_data = rest[k + 1]
+        del rest[k: k + 2]
+    if "-i" in rest:
+        k = rest.index("-i")
+        out_index = rest[k + 1]
+        del rest[k: k + 2]
+    if "--" in rest:
+        k = rest.index("--")
+        files, prog = rest[:k], rest[k + 1:]
+    else:
+        files, prog = rest[:2], rest[2:]
+    if len(files) < 2 or not prog:
+        print("ffindex_apply <data> <index> [-d out.ffdata -i "
+              "out.ffindex] -- program [args]", file=sys.stderr)
+        return 4
+    db = FFindexDatabase(files[0], files[1])
+    writer = (FFindexWriter(out_data, out_index)
+              if out_data and out_index else None)
+    for name, payload in db.items():
+        res = subprocess.run(prog, input=payload,
+                             capture_output=True)
+        if writer is not None:
+            writer.add(name, res.stdout)
+        else:
+            sys.stdout.buffer.write(res.stdout)
+    if writer is not None:
+        writer.close()
+    return 0
+
+
+def cmd_ffindex_modify(argv: List[str]) -> int:
+    """ffindex_modify -u -f <names file> <index>: unlink entries from
+    an index (lib/ffindex/src/ffindex_modify.c); -s sorts."""
+    names_file = None
+    sort = False
+    rest = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "-f":
+            i += 1
+            names_file = argv[i]
+        elif a == "-u":
+            pass
+        elif a == "-s":
+            sort = True
+        else:
+            rest.append(a)
+        i += 1
+    if not rest:
+        print("ffindex_modify [-s] [-u -f namesfile] <index>",
+              file=sys.stderr)
+        return 4
+    index_path = rest[0]
+    remove = set()
+    if names_file:
+        with open(names_file) as f:
+            remove = set(f.read().split())
+    lines = []
+    with open(index_path) as f:
+        for line in f:
+            if line.strip() and line.split("\t")[0] not in remove:
+                lines.append(line)
+    if sort:
+        lines.sort(key=lambda l: l.split("\t")[0])
+    with open(index_path, "w") as f:
+        f.writelines(lines)
+    return 0
+
+
+def cmd_ffindex_order(argv: List[str]) -> int:
+    """ffindex_order <orderfile> <data> <index> <outdata> <outindex>:
+    rewrite a database in the given entry order."""
+    from ..io.ffindex import FFindexDatabase, FFindexWriter
+
+    if len(argv) < 5:
+        print("ffindex_order <orderfile> <data> <index> <outdata> "
+              "<outindex>", file=sys.stderr)
+        return 4
+    with open(argv[0]) as f:
+        order = f.read().split()
+    db = FFindexDatabase(argv[1], argv[2])
+    with FFindexWriter(argv[3], argv[4]) as w:
+        for name in order:
+            if name in db:
+                w.add(name, db.read_bytes(name))
+    return 0
+
+
+def cmd_ffindex_unpack(argv: List[str]) -> int:
+    """ffindex_unpack <data> <index> <outdir>: write each entry to a
+    file."""
+    from ..io.ffindex import FFindexDatabase
+
+    if len(argv) < 3:
+        print("ffindex_unpack <data> <index> <outdir>", file=sys.stderr)
+        return 4
+    db = FFindexDatabase(argv[0], argv[1])
+    os.makedirs(argv[2], exist_ok=True)
+    for name, payload in db.items():
+        with open(os.path.join(argv[2], name), "wb") as f:
+            f.write(payload)
+    return 0
+
+
 def cmd_reformat(argv: List[str]) -> int:
     from ..tools.reformat import main as reformat_main
 
@@ -480,6 +601,10 @@ COMMANDS = {
     "hhsuitedb": cmd_hhsuitedb,
     "hhblits_batch": cmd_hhblits_batch,
     "reformat": cmd_reformat,
+    "ffindex_apply": cmd_ffindex_apply,
+    "ffindex_modify": cmd_ffindex_modify,
+    "ffindex_order": cmd_ffindex_order,
+    "ffindex_unpack": cmd_ffindex_unpack,
 }
 
 

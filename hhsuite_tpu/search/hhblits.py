@@ -52,6 +52,7 @@ def run_hhblits(par: Parameters, query_text: str, db: HHDatabase,
     premerged_hits: Set[str] = set()
     hitlist = HitList()
     search_counter: Set[str] = set()
+    alis: Dict[int, object] = {}     # per-round MSAs for -oalis
 
     for round_no in range(1, par.num_rounds + 1):
         # premerge budget shrinks once enough hits are merged
@@ -136,6 +137,8 @@ def run_hhblits(par: Parameters, query_text: str, db: HHDatabase,
                                         mats.Sim)
             if par.notags:
                 neutralize_tags(qnew, mats.pb)
+            if par.alisbasename:
+                alis[round_no] = copy.deepcopy(qali)
         else:
             qnew = q
 
@@ -153,4 +156,5 @@ def run_hhblits(par: Parameters, query_text: str, db: HHDatabase,
                 previous_hits.add(f"{base}__{h.irep}")
         hitlist = HitList()
 
+    q.alis = alis
     return q, hitlist, qali
