@@ -75,6 +75,16 @@ _VALUE_FLAGS = {
     "-gapg": ("gapg", _f),
     "-gaph": ("gaph", _f),
     "-gapi": ("gapi", _f),
+    "-pc_hhm_contxt_mode": ("pc_hhm_context_mode", _i),
+    "-pc_hhm_contxt_a": ("pc_hhm_context_a", _f),
+    "-pc_hhm_contxt_b": ("pc_hhm_context_b", _f),
+    "-pc_hhm_contxt_c": ("pc_hhm_context_c", _f),
+    "-pc_hhm_contxt_neff": ("pc_hhm_context_target_neff", _f),
+    "-pc_prefilter_contxt_mode": ("pc_prefilter_context_mode", _i),
+    "-pc_prefilter_contxt_a": ("pc_prefilter_context_a", _f),
+    "-pc_prefilter_contxt_b": ("pc_prefilter_context_b", _f),
+    "-pc_prefilter_contxt_c": ("pc_prefilter_context_c", _f),
+    "-pc_prefilter_contxt_neff": ("pc_prefilter_context_target_neff", _f),
     "-pc_hhm_nocontxt_mode": ("pc_hhm_nocontext_mode", _i),
     "-pc_hhm_nocontxt_a": ("pc_hhm_nocontext_a", _f),
     "-pc_hhm_nocontxt_b": ("pc_hhm_nocontext_b", _f),

@@ -148,6 +148,8 @@ class Parameters:
     pc_prefilter_context_a: float = 0.8
     pc_prefilter_context_b: float = 2.0
     pc_prefilter_context_c: float = 1.0
+    pc_hhm_context_target_neff: float = 0.0
+    pc_prefilter_context_target_neff: float = 0.0
 
     # nocontext pseudocounts (hhdecl.cpp:64-72)
     pc_hhm_nocontext_mode: int = 2

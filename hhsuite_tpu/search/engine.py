@@ -315,11 +315,17 @@ def premerge_hits(par: Parameters, q_re: HMM, qali, hitlist: HitList,
                                     par.showcons, mats.pb, mats.Sim)
         if par.notags:
             neutralize_tags(q_re, mats.pb)
-        q_re.prepare_pseudocounts(mats.R)
-        q_re.add_amino_acid_pseudocounts(par.pc_prefilter_nocontext_mode,
-                                         par.pc_prefilter_nocontext_a,
-                                         par.pc_prefilter_nocontext_b,
-                                         par.pc_prefilter_nocontext_c)
+        from ..cs.pseudocounts import get_context_engine
+        ctx = get_context_engine(par)
+        if ctx is not None:
+            ctx.add_context_pseudocounts_prefilter(q_re)
+        else:
+            q_re.prepare_pseudocounts(mats.R)
+            q_re.add_amino_acid_pseudocounts(
+                par.pc_prefilter_nocontext_mode,
+                par.pc_prefilter_nocontext_a,
+                par.pc_prefilter_nocontext_b,
+                par.pc_prefilter_nocontext_c)
         q_re.calculate_aa_background(mats.pb)
         q_re.add_transition_pseudocounts(par.gapd, par.gape, par.gapf,
                                          par.gapg, par.gaph, par.gapi,

@@ -66,12 +66,17 @@ def run_hhblits(par: Parameters, query_text: str, db: HHDatabase,
         prepare_query_hmm(par, q, mats, input_format)
 
         if par.prefilter:
-            q_tmp.prepare_pseudocounts(mats.R)
-            q_tmp.add_amino_acid_pseudocounts(
-                par.pc_prefilter_nocontext_mode,
-                par.pc_prefilter_nocontext_a,
-                par.pc_prefilter_nocontext_b,
-                par.pc_prefilter_nocontext_c)
+            from ..cs.pseudocounts import get_context_engine
+            ctx = get_context_engine(par)
+            if ctx is not None:
+                ctx.add_context_pseudocounts_prefilter(q_tmp)
+            else:
+                q_tmp.prepare_pseudocounts(mats.R)
+                q_tmp.add_amino_acid_pseudocounts(
+                    par.pc_prefilter_nocontext_mode,
+                    par.pc_prefilter_nocontext_a,
+                    par.pc_prefilter_nocontext_b,
+                    par.pc_prefilter_nocontext_c)
             q_tmp.calculate_aa_background(mats.pb)
             new_pairs, old_pairs = prefilter_db(
                 par, q_tmp, lib, cs_names, cs_seqs, previous_hits)

@@ -96,6 +96,9 @@ def _alignment_from_hmm(q: HMM, par: Parameters) -> Alignment:
 def prepare_query_hmm(par: Parameters, q: HMM, mats: SubstitutionMatrix,
                       input_format: int = 0, context_engine=None):
     """PrepareQueryHMM (hhfunc.cpp:118-160)."""
+    if context_engine is None:
+        from ..cs.pseudocounts import get_context_engine
+        context_engine = get_context_engine(par)
     if input_format == 0:
         q.add_transition_pseudocounts(par.gapd, par.gape, par.gapf, par.gapg,
                                       par.gaph, par.gapi, par.gapb)
