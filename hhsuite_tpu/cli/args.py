@@ -185,4 +185,6 @@ def parse_args(argv: List[str], par: Parameters) -> Parameters:
         par.mact = 0.0
     if par.altali < 1:
         par.altali = 1
+    from .. import log as hhlog
+    hhlog.set_level(par.v)
     return par

@@ -268,3 +268,4 @@ class Parameters:
     exclstr: Optional[str] = None
     template_exclstr: Optional[str] = None
     argv: Optional[List[str]] = None
+    v: int = 2                # verbosity, log.INFO (hhdecl.cpp:8)

@@ -194,6 +194,10 @@ def perform_realign(par: Parameters, q_realign: HMM, hitlist: HitList,
         selected.append(hit)
         n_realign += 1
 
+    from .. import log as hhlog
+    hhlog.info(f"Realigning {len(selected)} HMM-HMM alignments using "
+               f"Maximum Accuracy algorithm")
+
     q_realign.log2lin_transitions()
     prepare_query_transitions(q_realign)
 

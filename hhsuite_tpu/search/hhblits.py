@@ -55,6 +55,8 @@ def run_hhblits(par: Parameters, query_text: str, db: HHDatabase,
     alis: Dict[int, object] = {}     # per-round MSAs for -oalis
 
     for round_no in range(1, par.num_rounds + 1):
+        from .. import log as hhlog
+        hhlog.info(f"Iteration {round_no}")
         # premerge budget shrinks once enough hits are merged
         # (hhblits.cpp:1120-1126; mutates par.premerge persistently)
         if par.premerge > 0 and round_no > 1 \

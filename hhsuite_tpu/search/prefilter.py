@@ -112,6 +112,10 @@ def prefilter_db(par: Parameters, q_tmp: HMM, lib: ContextLibrary,
             break
         survivors.append(n)
 
+    from .. import log as hhlog
+    hhlog.info(f"HMMs passed 1st prefilter (gapless profile-profile "
+               f"alignment)  : {len(survivors)}")
+
     # ---- stage 2: gapped SW ----
     gap_init = par.prefilter_gap_open + par.prefilter_gap_extend
     sub_seqs = [seqs[n] for n in survivors]
@@ -133,6 +137,8 @@ def prefilter_db(par: Parameters, q_tmp: HMM, lib: ContextLibrary,
                 and ev > par.prefilter_evalue_thresh:
             break
         kept.append(n)
+    hhlog.info(f"HMMs passed 2nd prefilter (gapped profile-profile "
+               f"alignment)   : {len(kept)}")
 
     new_hits, old_hits = [], []
     seen = set()
