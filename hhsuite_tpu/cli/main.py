@@ -605,6 +605,8 @@ COMMANDS = {
     "ffindex_modify": cmd_ffindex_modify,
     "ffindex_order": cmd_ffindex_order,
     "ffindex_unpack": cmd_ffindex_unpack,
+    "hhmakemodel": lambda argv: __import__(
+        "hhsuite_tpu.tools.hhmakemodel", fromlist=["main"]).main(argv),
 }
 
 

@@ -101,7 +101,9 @@ def log_pvalue(x, lamda, mu):
     """hhhit-inl.h:49-53."""
     h = np.float64(np.float32(lamda)) * (np.float64(np.float32(x))
                                          - np.float64(np.float32(mu)))
-    with np.errstate(over="ignore"):
+    with np.errstate(over="ignore", divide="ignore"):
+        # h >> 0 makes the inner term exactly 0.0 and log() -inf; that
+        # branch is discarded by the h > 10 selector below
         mid = np.log(1.0 - np.exp(-np.exp(-h)))
     return np.where(h > 10, -h, np.where(h < -2.5, -np.exp(-np.exp(-h)),
                                          mid))
