@@ -43,7 +43,9 @@ def main():
 
         def kern(*a, **kw):
             return viterbi_batch_rows(*a, tb=64, **kw)
-        Lq, Lt, B = 400, 400, 256
+        # best measured operating point: full 512-lane rows (Wj == Wp
+        # keeps lane-padding waste at zero), 4 batch tiles of 64
+        Lq, Lt, B = 511, 511, 256
     else:
         from hhsuite_tpu.ops.viterbi import viterbi_batch
 

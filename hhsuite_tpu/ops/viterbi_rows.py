@@ -20,6 +20,17 @@ Kogge-Stone scan over the lane axis (log2(Wp) steps): combine
 (A, C) ⊕ (A', C') = (max(A, A' + C), C + C').  Rolls now cost
 O(log Lt) per ROW instead of O(1) per CELL.
 
+In the common no-cell-off case the carry tensors C are row-independent
+(GD: window sums of td2d1; IM: window sums of tm2m1 plus an exact
+power-of-two multiple of the per-row scalar qi2i0), so they are
+precomputed once per template with the identical tree-doubling order and
+the per-row scan needs only the two A rolls per step, with the roll wrap
+mask folded into the precomputed carries.  GD/IM state rows are stored
+pre-shifted (they are only consumed at j-1), reusing the backtrace-bit
+rolls, and padding lanes are left unmasked (their garbage provably never
+reaches a live lane or output).  All outputs stay bit-identical to the
+original in-row scan.
+
 Exactness: the scan evaluates the gap-run sums in tree order, so values
 can differ from the reference's row-sequential loop by ~1 ulp along long
 gap runs (which can flip an argmax in exact ties).  This is the
@@ -112,12 +123,32 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
         scan_steps.append(s)
         s *= 2
 
+    if not has_co:
+        # The Kogge-Stone carry tensors are ROW-INDEPENDENT (for GD the
+        # per-step window sums of td2d1; for IM those of tm2m1 plus a
+        # per-row scalar qi2i0 * window, exact because the window is a
+        # power of two).  Precompute them once per template with the
+        # same tree-doubling order the in-row loop used, store the
+        # step-entry value with the roll wrap mask folded in, and the
+        # per-row scan drops from 4 rolls + 2 masks to 2 rolls per step.
+        lane_row = jnp.arange(Wp)
+        C1k = tvec[:, 4]                       # td2d1 (Bp, Wp)
+        T2k = tvec[:, 0]                       # tm2m1 (Bp, Wp)
+        C1s, T2s = [], []
+        for s_ in scan_steps:
+            C1s.append(jnp.where(lane_row < s_, NEG, C1k))
+            T2s.append(jnp.where(lane_row < s_, NEG, T2k))
+            C1k = C1k + jnp.roll(C1k, s_, axis=1)
+            T2k = T2k + jnp.roll(T2k, s_, axis=1)
+        c1_arr = jnp.stack(C1s, axis=1)        # (Bp, S, Wp)
+        t2_arr = jnp.stack(T2s, axis=1)
+
     def kernel(*refs):
         if has_co:
             (si_ref, co_ref, tv_ref, qtr_ref,
              bestS_ref, bestI_ref, bt_ref, st_ref, bl_ref) = refs
         else:
-            (si_ref, tv_ref, qtr_ref,
+            (si_ref, tv_ref, c1_ref, t2_ref, qtr_ref,
              bestS_ref, bestI_ref, bt_ref, st_ref, bl_ref) = refs
         r_idx = pl.program_id(1)
         i = r_idx + 1
@@ -169,14 +200,15 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
                 r = pltpu.roll(x, 1, 1)
                 return jnp.where(lanes == 0, -FLT_MAX, r)
 
-        # ---- MM row: predecessors at (i-1, j-1) ----
+        # ---- MM row: predecessors at (i-1, j-1); gd_p/im_p were
+        # stored pre-shifted so only three rolls remain ----
         c_mm = upj(mm_p) + qm2m1 + tm2m1
         best5 = jnp.maximum(sminf, c_mm)
         code = jnp.where(c_mm > sminf, MM, STOP)
-        c_gd = upj(gd_p) + qm2m1 + td2m1
+        c_gd = gd_p + qm2m1 + td2m1
         code = jnp.where(c_gd > best5, GD, code)
         best5 = jnp.maximum(best5, c_gd)
-        c_im = upj(im_p) + qi2m1 + tm2m1
+        c_im = im_p + qi2m1 + tm2m1
         code = jnp.where(c_im > best5, IM, code)
         best5 = jnp.maximum(best5, c_im)
         c_dg = upj(dg_p) + qd2m1 + tm2m1
@@ -217,40 +249,60 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
         else:
             a_gd, c_gd2, a_im, c_im2 = a_gd0, c_gd, a_im0, c_im
         A1 = jnp.where(lanes == 0, -FLT_MAX, a_gd)
-        C1 = c_gd2
         A2 = jnp.where(lanes == 0, -FLT_MAX, a_im)
-        C2 = c_im2
-        # Kogge-Stone; only the A rolls need wrap masking.  A C value
-        # rolled across the origin is garbage only in lanes j < 2^k, and
-        # every use of C[j] at the next step pairs it with an A roll that
-        # is masked to -FLT_MAX exactly for those lanes, so the garbage
-        # never reaches a result (C pads start at -FLT_MAX via the
-        # template-transition padding and only become more negative).
-        for s_ in scan_steps:
-            A1r = jnp.where(lanes < s_, -FLT_MAX, pltpu.roll(A1, s_, 1))
-            C1r = pltpu.roll(C1, s_, 1)
-            A2r = jnp.where(lanes < s_, -FLT_MAX, pltpu.roll(A2, s_, 1))
-            C2r = pltpu.roll(C2, s_, 1)
-            A1 = jnp.maximum(A1, A1r + C1)
-            C1 = C1 + C1r
-            A2 = jnp.maximum(A2, A2r + C2)
-            C2 = C2 + C2r
+        if has_co:
+            C1 = c_gd2
+            C2 = c_im2
+            # Kogge-Stone; only the A rolls need wrap masking.  A C
+            # value rolled across the origin is garbage only in lanes
+            # j < 2^k, and every use of C[j] at the next step pairs it
+            # with an A roll that is masked to -FLT_MAX exactly for
+            # those lanes, so the garbage never reaches a result.
+            for s_ in scan_steps:
+                A1r = jnp.where(lanes < s_, -FLT_MAX,
+                                pltpu.roll(A1, s_, 1))
+                C1r = pltpu.roll(C1, s_, 1)
+                A2r = jnp.where(lanes < s_, -FLT_MAX,
+                                pltpu.roll(A2, s_, 1))
+                C2r = pltpu.roll(C2, s_, 1)
+                A1 = jnp.maximum(A1, A1r + C1)
+                C1 = C1 + C1r
+                A2 = jnp.maximum(A2, A2r + C2)
+                C2 = C2 + C2r
+        else:
+            # Precomputed carries: the folded wrap mask makes the
+            # wrapped-lane candidate <= -FLT_MAX, losing every max
+            # exactly as the explicit mask did.
+            for k, s_ in enumerate(scan_steps):
+                A1 = jnp.maximum(A1, pltpu.roll(A1, s_, 1)
+                                 + c1_ref[:, k])
+                A2 = jnp.maximum(A2, pltpu.roll(A2, s_, 1)
+                                 + (t2_ref[:, k]
+                                    + qi2i0 * f32(float(s_))))
         gd_row = A1
         im_row = A2
         # backtrace bits against the resolved predecessor (pre-cell-off,
-        # matching the wavefront kernels' bit semantics)
-        b_gd2 = upj(gd_row) + td2d1
+        # matching the wavefront kernels' bit semantics).  The rolled
+        # copies double as next row's pre-shifted GD/IM reads (those
+        # states are only ever consumed at j-1), saving two rolls.
+        gd_row_s = upj(gd_row)
+        im_row_s = upj(im_row)
+        b_gd2 = gd_row_s + td2d1
         bit_gd = a_gd0 > b_gd2
-        b_im2 = upj(im_row) + qi2i0 + tm2m1
+        b_im2 = im_row_s + qi2i0 + tm2m1
         bit_im = a_im0 > b_im2
 
         on = (lanes >= 1) & (lanes <= Lt)
-        negfull = jnp.full((TB, Wp), -FLT_MAX)
-        mm_row = jnp.where(on | (lanes == 0), mm_row, negfull)
-        dg_row = jnp.where(on, dg_row, negfull)
-        mi_row = jnp.where(on, mi_row, negfull)
-        gd_row = jnp.where(on, gd_row, negfull)
-        im_row = jnp.where(on, im_row, negfull)
+        # Padding lanes (j > Lt) are left unmasked: under the j-1 shift
+        # they only ever receive live-edge values and feed other padding
+        # lanes, the best-score tracker masks with `on`, and the byte
+        # output is masked below — so garbage there never reaches a
+        # result and the five negfull selects are saved.  Lane 0 of
+        # DG/MI is a real boundary (-inf in the reference) that feeds
+        # lane 1 through the j-1 shift next row, so it keeps its mask.
+        lane0 = lanes == 0
+        dg_row = jnp.where(lane0, -FLT_MAX, dg_row)
+        mi_row = jnp.where(lane0, -FLT_MAX, mi_row)
 
         byte = (code
                 | jnp.where(bit_gd, 8, 0)
@@ -263,8 +315,8 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
         st_ref[0] = mm_row
         st_ref[1] = dg_row
         st_ref[2] = mi_row
-        st_ref[3] = gd_row
-        st_ref[4] = im_row
+        st_ref[3] = gd_row_s
+        st_ref[4] = im_row_s
 
         if local:
             cand = jnp.where(on, mm_row, -FLT_MAX)
@@ -294,10 +346,20 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
         inputs.append(co_add)
     in_specs += [
         pl.BlockSpec((TB, 7, Wp), lambda b, r: (b, 0, 0)),
+    ]
+    inputs += [tvec]
+    if not has_co:
+        S = len(scan_steps)
+        in_specs += [
+            pl.BlockSpec((TB, S, Wp), lambda b, r: (b, 0, 0)),
+            pl.BlockSpec((TB, S, Wp), lambda b, r: (b, 0, 0)),
+        ]
+        inputs += [c1_arr, t2_arr]
+    in_specs += [
         pl.BlockSpec((7, Lqp), lambda b, r: (0, 0),
                      memory_space=pltpu.SMEM),
     ]
-    inputs += [tvec, qtr_s]
+    inputs += [qtr_s]
     res = pl.pallas_call(
         kernel,
         grid=grid,
