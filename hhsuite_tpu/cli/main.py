@@ -582,6 +582,86 @@ def cmd_ffindex_from_fasta(argv: List[str]) -> int:
     return 0
 
 
+def cmd_ffindex_reduce(argv: List[str]) -> int:
+    """Pipe every entry of a database to a program's stdin
+    (lib/ffindex/src/ffindex_reduce.c); unlike ffindex_apply the
+    program's stdout is NOT captured into a new database."""
+    import subprocess
+
+    from ..io.ffindex import FFindexDatabase
+
+    if len(argv) < 3:
+        print("ffindex_reduce <data> <index> <program> [args]",
+              file=sys.stderr)
+        return 4
+    db = FFindexDatabase(argv[0], argv[1])
+    prog = argv[2:]
+    for _name, payload in db.items():
+        subprocess.run(prog, input=payload)
+    return 0
+
+
+def cmd_ffindex_from_fasta_with_split(argv: List[str]) -> int:
+    """FASTA -> separate header + sequence databases
+    (lib/ffindex/src/ffindex_from_fasta_with_split.c).  Headers keep
+    their '>' and lose the newline; sequences are concatenated without
+    newlines.  Entry names are the first header word, shortened to the
+    second '|'-field when present (get_short_id); -s sorts the indices.
+    Refuses to overwrite existing outputs like the reference."""
+    from ..io.ffindex import FFindexWriter
+
+    sort = "-s" in argv
+    rest = [a for a in argv if not a.startswith("-")]
+    if len(rest) < 5:
+        print("ffindex_from_fasta_with_split [-s] <hdr.ffdata> "
+              "<hdr.ffindex> <seq.ffdata> <seq.ffindex> <fasta>",
+              file=sys.stderr)
+        return 4
+    hdr_d, hdr_i, seq_d, seq_i, fasta = rest[:5]
+    for pth in (hdr_d, hdr_i, seq_d, seq_i):
+        if os.path.exists(pth):
+            print(f"{pth}: File exists", file=sys.stderr)
+            return 1
+    with open(fasta) as f:
+        text = f.read()
+    entries = []
+    seq_id = 0
+    for block in text.split("\n>"):
+        block = block.lstrip(">").strip("\n")
+        if not block.strip():
+            continue
+        seq_id += 1
+        lines = block.split("\n")
+        header = ">" + lines[0]
+        seq = "".join(l.strip() for l in lines[1:])
+        name = lines[0].split()[0] if lines[0].split() else str(seq_id)
+        if "|" in name:
+            parts = name.split("|")
+            if len(parts) >= 2 and parts[1]:
+                name = parts[1]
+            else:
+                print(f"Warning: short id could not be extracted from "
+                      f"'{name}'!", file=sys.stderr)
+        entries.append((name, header, seq))
+    if sort:
+        entries.sort(key=lambda e: e[0])
+    with FFindexWriter(hdr_d, hdr_i) as wh, \
+            FFindexWriter(seq_d, seq_i) as ws:
+        for name, header, seq in entries:
+            wh.add(name, header.encode())
+            ws.add(name, seq.encode())
+    return 0
+
+
+def cmd_hhblits_ca3m(argv: List[str]) -> int:
+    """Batch driver over a COMPRESSED query database
+    (src/hhblits_ca3m.cpp:120-240): each <in>_ca3m entry is expanded to
+    a3m through <in>_{sequence,header} and searched like hhblits_omp."""
+    from ..tools.batch import main as batch_main
+
+    return batch_main(list(argv) + ["-in_ca3m"])
+
+
 COMMANDS = {
     "hhblits": cmd_hhblits,
     "hhsearch": cmd_hhsearch,
@@ -599,6 +679,9 @@ COMMANDS = {
     "a3m_reduce": cmd_a3m_reduce,
     "a3m_extract": cmd_a3m_extract,
     "hhsuitedb": cmd_hhsuitedb,
+    "ffindex_reduce": cmd_ffindex_reduce,
+    "ffindex_from_fasta_with_split": cmd_ffindex_from_fasta_with_split,
+    "hhblits_ca3m": cmd_hhblits_ca3m,
     "hhblits_batch": cmd_hhblits_batch,
     "reformat": cmd_reformat,
     "ffindex_apply": cmd_ffindex_apply,

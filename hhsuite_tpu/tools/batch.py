@@ -24,6 +24,7 @@ from typing import Dict, List, Optional, Tuple
 
 def _run_one(args):
     (name, text, db_base, par_dict, mode) = args
+    ca3m_out = par_dict.pop("__ca3m_out", False)
     import jax
 
     if jax.devices()[0].platform == "cpu":
@@ -55,23 +56,65 @@ def _run_one(args):
     outputs["m8"] = print_m8(q, hitlist, par.nseqdis, par.p,
                              par.E).encode()
     if qali is not None:
-        outputs["a3m"] = write_alignment_a3m(qali).encode()
+        a3m_text = write_alignment_a3m(qali)
+        if ca3m_out:
+            # hhblits_ca3m semantics (src/hhblits_ca3m.cpp:80+): the
+            # result MSA is compressed against the database's shared
+            # _sequence ffindex; on compression failure the reference
+            # warns and skips, here the plain a3m is written instead so
+            # no result is silently lost.
+            from ..io.ca3m import compress_a3m
+            from ..io.ffindex import FFindexDatabase
+
+            seq_db = FFindexDatabase(db_base + "_sequence.ffdata",
+                                     db_base + "_sequence.ffindex")
+            payload = compress_a3m(a3m_text, seq_db)
+            if payload is None:
+                print(f"WARNING: could not compress result MSA for "
+                      f"{name}; storing plain a3m", file=sys.stderr)
+                payload = a3m_text.encode()
+            outputs["ca3m"] = payload
+        else:
+            outputs["a3m"] = a3m_text.encode()
     return name, outputs
 
 
 def run_batch(in_base: str, db_base: str, out_base: str,
               mode: str = "hhblits", par_overrides: Optional[dict] = None,
-              threads: int = 0, log=print) -> None:
+              threads: int = 0, log=print, ca3m: bool = False,
+              in_ca3m: bool = False) -> None:
     """Search every entry of <in_base>.ff{data,index} against db_base and
-    write <out_base>_{hhr,m8[,a3m]}.ff{data,index} shards."""
+    write <out_base>_{hhr,m8[,a3m|ca3m]}.ff{data,index} shards.
+
+    in_ca3m=True is the hhblits_ca3m driver (src/hhblits_ca3m.cpp:
+    120-240): queries come from the compressed <in_base>_ca3m database
+    and each entry is expanded to a3m text on the fly through the
+    companion <in_base>_{sequence,header} ffindexes.  ca3m=True
+    additionally ca3m-compresses RESULT MSAs against the search
+    database's _sequence ffindex (an extension; the reference driver
+    writes plain outputs)."""
     from concurrent.futures import ProcessPoolExecutor
 
     from ..io.ffindex import FFindexDatabase, FFindexWriter
 
-    src = FFindexDatabase(in_base + ".ffdata", in_base + ".ffindex")
     par_dict = dict(par_overrides or {})
-    jobs = [(e.name, src.read_text(e), db_base, par_dict, mode)
-            for e in src.entries]
+    if ca3m:
+        par_dict["__ca3m_out"] = True
+    if in_ca3m:
+        from ..io.ca3m import extract_a3m
+
+        src = FFindexDatabase(in_base + "_ca3m.ffdata",
+                              in_base + "_ca3m.ffindex")
+        seq_db = FFindexDatabase(in_base + "_sequence.ffdata",
+                                 in_base + "_sequence.ffindex")
+        hdr_db = FFindexDatabase(in_base + "_header.ffdata",
+                                 in_base + "_header.ffindex")
+        jobs = [(e.name, extract_a3m(src.read_bytes(e), seq_db, hdr_db),
+                 db_base, par_dict, mode) for e in src.entries]
+    else:
+        src = FFindexDatabase(in_base + ".ffdata", in_base + ".ffindex")
+        jobs = [(e.name, src.read_text(e), db_base, par_dict, mode)
+                for e in src.entries]
 
     import jax
 
@@ -124,6 +167,7 @@ def main(argv: List[str]) -> int:
     in_base = db_base = out_base = None
     mode = "hhblits"
     threads = 0
+    in_ca3m = False
     par_overrides: dict = {"nocontxt": True}
     i = 0
     while i < len(argv):
@@ -145,11 +189,16 @@ def main(argv: List[str]) -> int:
             threads = int(argv[i])
         elif a == "-hhsearch":
             mode = "hhsearch"
+        elif a == "-in_ca3m":
+            in_ca3m = True
+        elif a == "-Oca3m":
+            par_overrides["__ca3m_out"] = True
         i += 1
     if not in_base or not db_base or not out_base:
         print("hhblits_batch -i <query ffindex base> -d <db base> "
               "-o <out base> [-n rounds] [-cpu N] [-hhsearch]",
               file=sys.stderr)
         return 4
-    run_batch(in_base, db_base, out_base, mode, par_overrides, threads)
+    run_batch(in_base, db_base, out_base, mode, par_overrides, threads,
+              in_ca3m=in_ca3m)
     return 0

@@ -112,3 +112,107 @@ def test_early_stopping_filter(built_db):
         query = f.read()
     q, hl, qali = run_hhblits(par, query, db, "query.a3m")
     assert len(hl.hits) >= 1
+
+
+def test_ffindex_from_fasta_with_split(tmp_path):
+    from hhsuite_tpu.cli.main import cmd_ffindex_from_fasta_with_split
+    from hhsuite_tpu.io.ffindex import FFindexDatabase
+
+    fasta = tmp_path / "in.fasta"
+    fasta.write_text(">sp|P12345|FIRST test protein\n"
+                     "ACDEFG\nHIKLMN\n"
+                     ">plainname other\nPQRSTV\n")
+    args = [str(tmp_path / "hdr.ffdata"), str(tmp_path / "hdr.ffindex"),
+            str(tmp_path / "seq.ffdata"), str(tmp_path / "seq.ffindex"),
+            str(fasta)]
+    assert cmd_ffindex_from_fasta_with_split(["-s"] + args) == 0
+    hdr = FFindexDatabase(str(tmp_path / "hdr.ffdata"),
+                          str(tmp_path / "hdr.ffindex"))
+    seq = FFindexDatabase(str(tmp_path / "seq.ffdata"),
+                          str(tmp_path / "seq.ffindex"))
+    # '|'-field 2 extracted as the short id (get_short_id)
+    assert hdr.read_text("P12345") == ">sp|P12345|FIRST test protein"
+    assert seq.read_text("P12345") == "ACDEFGHIKLMN"
+    assert seq.read_text("plainname") == "PQRSTV"
+    # refuses to overwrite (reference EEXIST behavior)
+    assert cmd_ffindex_from_fasta_with_split(args) == 1
+
+
+def test_ffindex_reduce(tmp_path):
+    from hhsuite_tpu.cli.main import cmd_ffindex_reduce
+    from hhsuite_tpu.io.ffindex import FFindexWriter
+
+    with FFindexWriter(str(tmp_path / "d.ffdata"),
+                       str(tmp_path / "d.ffindex")) as w:
+        w.add("a", b"hello\n")
+        w.add("b", b"world\n")
+    out = tmp_path / "sink.txt"
+    rc = cmd_ffindex_reduce([
+        str(tmp_path / "d.ffdata"), str(tmp_path / "d.ffindex"),
+        "sh", "-c", f"cat >> {out}"])
+    assert rc == 0
+    assert out.read_text() == "hello\nworld\n"
+
+
+def test_hhblits_ca3m_driver(built_db, tmp_path):
+    """hhblits_ca3m semantics (src/hhblits_ca3m.cpp:120-240): queries
+    come from a compressed ca3m database and are expanded through the
+    companion _sequence/_header ffindexes before the normal search."""
+    from hhsuite_tpu.cli.main import cmd_ffindex_from_fasta_with_split
+    from hhsuite_tpu.io.ca3m import compress_a3m
+    from hhsuite_tpu.io.ffindex import FFindexDatabase, FFindexWriter
+    from hhsuite_tpu.tools.batch import run_batch
+
+    tmp = built_db
+    with open(f"{FIX}/query.a3m") as f:
+        query = f.read()
+
+    # companion _sequence/_header DBs hold every member's full sequence
+    fasta_lines = []
+    seen = set()
+    hdr = None
+    seqp = []
+    records = []
+    for line in query.splitlines() + [">"]:
+        if line.startswith(">"):
+            if hdr is not None and seqp:
+                records.append((hdr, "".join(seqp)))
+            hdr = line
+            seqp = []
+        elif not line.startswith("#"):
+            seqp.append(line.strip())
+    for h, s in records:
+        full = s.replace("-", "").replace(".", "").upper()
+        if h not in seen and full:
+            seen.add(h)
+            fasta_lines += [h, full]
+    (tmp_path / "members.fasta").write_text("\n".join(fasta_lines) + "\n")
+    qbase = str(tmp_path / "qdb")
+    rc = cmd_ffindex_from_fasta_with_split([
+        qbase + "_header.ffdata", qbase + "_header.ffindex",
+        qbase + "_sequence.ffdata", qbase + "_sequence.ffindex",
+        str(tmp_path / "members.fasta")])
+    assert rc == 0
+
+    # consensus-led a3m (db-build MSAs always carry one) -> ca3m entry
+    cons = records[0][1].replace("-", "").upper()
+    a3m_text = (">q1_consensus\n" + cons + "\n"
+                + "\n".join(h + "\n" + s for h, s in records) + "\n")
+    seq_db = FFindexDatabase(qbase + "_sequence.ffdata",
+                             qbase + "_sequence.ffindex")
+    body = compress_a3m(a3m_text, seq_db)
+    assert body is not None
+    with FFindexWriter(qbase + "_ca3m.ffdata", qbase + "_ca3m.ffindex") as w:
+        w.add("q1", body)
+
+    run_batch(qbase, str(tmp / "mydb"), str(tmp_path / "res"),
+              mode="hhblits",
+              par_overrides={"nocontxt": True, "num_rounds": 1},
+              threads=1, log=lambda *a: None, in_ca3m=True)
+    hhr = FFindexDatabase(str(tmp_path / "res_hhr.ffdata"),
+                          str(tmp_path / "res_hhr.ffindex"))
+    out = hhr.read_text("q1")
+    assert "Match_columns 431" in out
+    a3m_out = FFindexDatabase(str(tmp_path / "res_a3m.ffdata"),
+                              str(tmp_path / "res_a3m.ffindex"))
+    assert a3m_out.read_text("q1").startswith(">")
