@@ -682,6 +682,22 @@ COMMANDS = {
     "ffindex_reduce": cmd_ffindex_reduce,
     "ffindex_from_fasta_with_split": cmd_ffindex_from_fasta_with_split,
     "hhblits_ca3m": cmd_hhblits_ca3m,
+    "splitfasta": lambda argv: __import__(
+        "hhsuite_tpu.tools.scripts", fromlist=["x"]).splitfasta(argv),
+    "check_a3m": lambda argv: __import__(
+        "hhsuite_tpu.tools.scripts", fromlist=["x"]).check_a3m(argv),
+    "get_a3m_size": lambda argv: __import__(
+        "hhsuite_tpu.tools.scripts", fromlist=["x"]).get_a3m_size(argv),
+    "multithread": lambda argv: __import__(
+        "hhsuite_tpu.tools.scripts", fromlist=["x"]).multithread(argv),
+    "create_profile_from_hhm": lambda argv: __import__(
+        "hhsuite_tpu.tools.scripts",
+        fromlist=["x"]).create_profile_from_hhm(argv),
+    "create_profile_from_hmmer": lambda argv: __import__(
+        "hhsuite_tpu.tools.scripts",
+        fromlist=["x"]).create_profile_from_hmmer(argv),
+    "hh_reader": lambda argv: __import__(
+        "hhsuite_tpu.tools.scripts", fromlist=["x"]).hh_reader(argv),
     "hhblits_batch": cmd_hhblits_batch,
     "reformat": cmd_reformat,
     "ffindex_apply": cmd_ffindex_apply,
