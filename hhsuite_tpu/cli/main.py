@@ -698,6 +698,14 @@ COMMANDS = {
         fromlist=["x"]).create_profile_from_hmmer(argv),
     "hh_reader": lambda argv: __import__(
         "hhsuite_tpu.tools.scripts", fromlist=["x"]).hh_reader(argv),
+    "cif2fasta": lambda argv: __import__(
+        "hhsuite_tpu.tools.pdbtools", fromlist=["x"]).cif2fasta(argv),
+    "pdbfilter": lambda argv: __import__(
+        "hhsuite_tpu.tools.pdbtools", fromlist=["x"]).pdbfilter(argv),
+    "pdb2fasta": lambda argv: __import__(
+        "hhsuite_tpu.tools.pdbtools", fromlist=["x"]).pdb2fasta(argv),
+    "renumberpdb": lambda argv: __import__(
+        "hhsuite_tpu.tools.pdbtools", fromlist=["x"]).renumberpdb(argv),
     "hhblits_batch": cmd_hhblits_batch,
     "reformat": cmd_reformat,
     "ffindex_apply": cmd_ffindex_apply,
