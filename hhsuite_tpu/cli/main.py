@@ -706,6 +706,12 @@ COMMANDS = {
         "hhsuite_tpu.tools.pdbtools", fromlist=["x"]).pdb2fasta(argv),
     "renumberpdb": lambda argv: __import__(
         "hhsuite_tpu.tools.pdbtools", fromlist=["x"]).renumberpdb(argv),
+    "mergeali": lambda argv: __import__(
+        "hhsuite_tpu.tools.mergeali", fromlist=["x"]).mergeali(argv),
+    "addss": lambda argv: __import__(
+        "hhsuite_tpu.tools.addss", fromlist=["x"]).addss(argv),
+    "hhpred": lambda argv: __import__(
+        "hhsuite_tpu.tools.hhpred", fromlist=["x"]).hhpred(argv),
     "hhblits_batch": cmd_hhblits_batch,
     "reformat": cmd_reformat,
     "ffindex_apply": cmd_ffindex_apply,

@@ -216,3 +216,26 @@ def test_hhblits_ca3m_driver(built_db, tmp_path):
     a3m_out = FFindexDatabase(str(tmp_path / "res_a3m.ffdata"),
                               str(tmp_path / "res_a3m.ffindex"))
     assert a3m_out.read_text("q1").startswith(">")
+
+
+def test_hhpred_pipeline(built_db, tmp_path):
+    """hhpred wrapper (scripts/hhpred/hhpred.pl): a3m -> addss(-horiz)
+    -> hhsearch -> template selection -> PIR; MODELLER gated."""
+    from hhsuite_tpu.tools.hhpred import hhpred
+
+    tmp = built_db
+    import shutil
+    shutil.copy(f"{FIX}/query.a3m", tmp_path / "q.a3m")
+    horiz = tmp_path / "q.horiz"
+    # 431-column fake psipred output
+    horiz.write_text("Conf: " + "9" * 431 + "\nPred: " + "C" * 431 + "\n")
+    out = str(tmp_path / "model")
+    rc = hhpred(["-i", str(tmp_path / "q.a3m"), "-o", out,
+                 "-d", str(tmp / "mydb"), "-horiz", str(horiz)])
+    assert rc == 0
+    assert os.path.exists(out + ".hhr")
+    pir = open(out + ".pir").read()
+    assert pir.startswith(">P1;") and "structureX" in pir
+    # the ss annotation actually made it into the working a3m
+    a3m = open(out + ".a3m").read()
+    assert ">ss_pred" in a3m

@@ -136,3 +136,66 @@ def test_hh_reader(tmp_path, capsys):
     lines = out.splitlines()
     assert lines[1] == "q1\t1\tACDEFGHI\t8"
     assert lines[2] == "t1\t2\tACDEFGHI\t9"
+
+
+def test_addss_horiz_insertion(tmp_path):
+    from hhsuite_tpu.tools.addss import addss
+
+    a3m = tmp_path / "q.a3m"
+    a3m.write_text("#My MSA\n>s1 first\nACDEFG\n>s2\nAC-EFg-\n")
+    horiz = tmp_path / "q.horiz"
+    horiz.write_text("Conf: 987654\nPred: CCHHEE\n  AA: ACDEFG\n")
+    out = tmp_path / "out.a3m"
+    rc = addss(["-i", str(a3m), "-o", str(out), "-horiz", str(horiz)])
+    assert rc == 0
+    lines = out.read_text().splitlines()
+    assert lines[0] == "#My MSA"
+    assert lines[1].startswith(">ss_pred")
+    assert lines[2] == "CCHHEE"
+    assert lines[3].startswith(">ss_conf")
+    assert lines[4] == "987654"
+    assert lines[5] == ">s1 first"
+    # re-running replaces existing ss rows instead of duplicating
+    rc = addss(["-i", str(out), "-o", str(out), "-horiz", str(horiz)])
+    assert rc == 0
+    text = out.read_text()
+    assert text.count(">ss_pred") == 1
+
+
+def test_addss_make_mtx():
+    from hhsuite_tpu.tools.addss import make_mtx
+
+    with open(f"{FIX}/query.a3m") as f:
+        text = f.read()
+    mtx, seq = make_mtx(text)
+    lines = mtx.splitlines()
+    assert int(lines[0]) == 431
+    assert lines[1] == seq and len(seq) == 431
+    # PSSM rows: one per residue, integer log-odds
+    assert len(lines) == 2 + 12 + 431
+    assert all(t.lstrip("-").isdigit() for t in lines[14].split())
+
+
+def test_mergeali(tmp_path):
+    from hhsuite_tpu.tools.mergeali import mergeali
+
+    # two seeds aligned in a master; each has its own small a3m
+    master = tmp_path / "master.fas"
+    master.write_text(">seedA\nACDEFG--\n>seedB\n--DEFGHI\n")
+    (tmp_path / "seedA.a3m").write_text(
+        ">seedA\nACDEFG\n>memberA1\nACDEFG\n>memberA2\nAC-EFG\n")
+    (tmp_path / "seedB.a3m").write_text(
+        ">seedB\nDEFGHI\n>memberB1\nDEFaGHI\n")
+    out = tmp_path / "merged.a3m"
+    rc = mergeali(["-i", str(master), "-o", str(out),
+                   "-d", str(tmp_path), "-name", "merged"])
+    assert rc == 0
+    lines = out.read_text().splitlines()
+    assert lines[0] == "#merged"
+    recs = dict(zip([l[1:] for l in lines[1::2]], lines[2::2]))
+    assert recs["seedA"] == "ACDEFG--"
+    assert recs["memberA2"] == "AC-EFG--"
+    assert recs["seedB"] == "--DEFGHI"
+    # memberB1's lowercase insert is preserved between match columns
+    assert recs["memberB1"].replace("a", "") == "--DEFGHI"
+    assert "a" in recs["memberB1"]
