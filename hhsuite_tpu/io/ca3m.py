@@ -214,6 +214,14 @@ def _split_preamble(data: bytes) -> Tuple[str, str, str, int]:
 
 def _iter_records(data: bytes, offset: int):
     """Yield (entry_index, start_pos, [(nr_matches, ins_del), ...])."""
+    from ..native import load as _load_native
+
+    nat = _load_native()
+    if nat is not None:
+        for entry_index, start_pos, blocks in nat.iter_ca3m_records(
+                data, offset):
+            yield entry_index, start_pos, blocks
+        return
     pos = offset
     end = len(data)             # NUL already stripped by read_bytes
     while pos + 8 <= end:
@@ -231,9 +239,25 @@ def _iter_records(data: bytes, offset: int):
 
 def _expand_record(start_pos: int, blocks, full_seq: bytes,
                    consensus_length: int) -> str:
+    from ..native import load as _load_native
+
+    nat = _load_native()
+    if nat is not None:
+        if not isinstance(blocks, (bytes, bytearray)):
+            blocks = b"".join(
+                bytes([m]) + ib.to_bytes(1, "little", signed=True)
+                for m, ib in blocks)
+        return nat.expand_ca3m_record(
+            start_pos, bytes(blocks), full_seq,
+            consensus_length).decode("latin-1")
     chars: List[str] = []
     actual = start_pos
     aln_len = 0
+    if isinstance(blocks, (bytes, bytearray)):
+        blocks = [(blocks[k],
+                   int.from_bytes(blocks[k + 1:k + 2], "little",
+                                  signed=True))
+                  for k in range(0, len(blocks) - 1, 2)]
     for nr_matches, ins_del in blocks:
         for _i in range(nr_matches):
             chars.append(chr(full_seq[actual - 1]))

@@ -30,14 +30,26 @@ class FFindexDatabase:
         self.index_path = index_path
         self.entries: List[FFindexEntry] = []
         self.by_name: Dict[str, FFindexEntry] = {}
-        with open(index_path) as f:
-            for line in f:
-                if not line.strip():
-                    continue
-                parts = line.rstrip("\n").split("\t")
-                e = FFindexEntry(parts[0], int(parts[1]), int(parts[2]))
+        from ..native import load as _load_native
+
+        nat = _load_native()
+        if nat is not None:
+            with open(index_path, "rb") as f:
+                rows = nat.parse_index(f.read())
+            for name, off, length in rows:
+                e = FFindexEntry(name, off, length)
                 self.entries.append(e)
                 self.by_name[e.name] = e
+        else:
+            with open(index_path) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    parts = line.rstrip("\n").split("\t")
+                    e = FFindexEntry(parts[0], int(parts[1]),
+                                     int(parts[2]))
+                    self.entries.append(e)
+                    self.by_name[e.name] = e
         self.data = np.memmap(data_path, dtype=np.uint8, mode="r") \
             if os.path.getsize(data_path) else np.zeros(0, np.uint8)
 
