@@ -86,16 +86,20 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
     Si = _log2f4(dot) + f32(shift)
     if ss_score is not None:
         Si = Si + ss_score[:, 1:, 1:]
-    Si = jnp.pad(Si, ((0, Bp - B), (0, 0), (1, Wp - Wj)))
+    Lq8 = _round_up(Lq, 8)
+    Si = jnp.pad(Si, ((0, Bp - B), (0, Lq8 - Lq), (1, Wp - Wj)))
+    # kept in (Bp, Lq8, Wp) layout and block-sliced 8 rows at a time:
+    # saves the full HBM transpose pass over the biggest input that the
+    # (Lq, Bp, Wp) layout needed, while keeping the block's trailing
+    # dims (8, Wp) tile-aligned
     has_co = cell_off is not None
     if has_co:
         co_add = jnp.where(cell_off[:, 1:, :], NEG, f32(0.0))
-        co_add = jnp.pad(co_add, ((0, Bp - B), (0, 0), (0, Wp - Wj)))
+        co_add = jnp.pad(co_add, ((0, Bp - B), (0, Lq8 - Lq),
+                                  (0, Wp - Wj)))
         Si = Si + co_add
-        co_add = jnp.transpose(co_add, (1, 0, 2))   # (Lq, Bp, Wp)
     else:
         co_add = jnp.zeros((1, 1, 128), f32)    # placeholder
-    Si = jnp.transpose(Si, (1, 0, 2))               # (Lq, Bp, Wp)
 
     # template transitions as lane vectors (shared with pallas2 layout)
     jidx = np.arange(Wp)
@@ -217,7 +221,7 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
         c_mi = upj(mi_p) + qm2m1 + ti2m1
         code = jnp.where(c_mi > best5, MI, code)
         best5 = jnp.maximum(best5, c_mi)
-        mm_row = best5 + si_ref[0]                # si already carries co
+        mm_row = best5 + si_ref[:, r_idx % 8]     # si already carries co
         # boundary lane j=0: MM[i][0] = 0 (zero end-gap penalties)
         mm_row = jnp.where(lanes == 0, 0.0, mm_row)
 
@@ -231,7 +235,7 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
         bit_mi = a_mi > b_mi
         mi_row = jnp.maximum(a_mi, b_mi)
         if has_co:
-            co = co_ref[0]
+            co = co_ref[:, r_idx % 8]
             dg_row = dg_row + co
             mi_row = mi_row + co
 
@@ -339,10 +343,11 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
         jax.ShapeDtypeStruct((n_btiles, TB, Wp), jnp.float32),
         jax.ShapeDtypeStruct((Lq, Bp, Wp), jnp.int32),
     )
-    in_specs = [pl.BlockSpec((1, TB, Wp), lambda b, r: (r, b, 0))]
+    in_specs = [pl.BlockSpec((TB, 8, Wp), lambda b, r: (b, r // 8, 0))]
     inputs = [Si]
     if has_co:
-        in_specs.append(pl.BlockSpec((1, TB, Wp), lambda b, r: (r, b, 0)))
+        in_specs.append(
+            pl.BlockSpec((TB, 8, Wp), lambda b, r: (b, r // 8, 0)))
         inputs.append(co_add)
     in_specs += [
         pl.BlockSpec((TB, 7, Wp), lambda b, r: (b, 0, 0)),
@@ -374,6 +379,8 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
             pltpu.VMEM((5, TB, Wp), jnp.float32),
             pltpu.VMEM((2, TB, Wp), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(*inputs)
     bestS, bestI, bt_rows = res
