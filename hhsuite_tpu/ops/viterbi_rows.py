@@ -55,11 +55,15 @@ def _round_up(x, m):
 
 @functools.partial(
     __import__("jax").jit,
-    static_argnames=("local", "need_bt", "tb", "interpret"))
+    static_argnames=("local", "need_bt", "tb", "rps", "interpret"))
 def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
                        ss_score=None, local=True, need_bt=True,
-                       tb=32, interpret=False):
+                       tb=32, rps=8, interpret=False):
     """Contract of ops.viterbi.viterbi_batch (egq=egt=0 assumed).
+
+    ``rps`` query rows are computed per grid step (python-unrolled, must
+    divide 8) to amortize Mosaic's fixed per-step cost; every row's float
+    expressions are unchanged, so outputs are bit-identical for any rps.
 
     Returns (score, i2, j2, bt) with bt (B, Lq+1, Lt+1) uint8.
     """
@@ -114,7 +118,9 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
     ], axis=1)                                   # (B, 7, Wp)
     tvec = jnp.pad(tvec, ((0, Bp - B), (0, 0), (0, 0)))
 
-    Lqp = _round_up(Lq + 2, 8)
+    # padded tail rows (rows-per-step fill) read qtr up to index
+    # round_up(Lq, 8), so pad at least one past that
+    Lqp = _round_up(max(Lq + 2, _round_up(Lq, 8) + 1), 8)
     qtr_s = jnp.pad(qtr.astype(jnp.float32).T,
                     ((0, 0), (0, Lqp - (Lq + 2))),
                     constant_values=-FLT_MAX)     # (7, Lqp)
@@ -147,6 +153,14 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
         c1_arr = jnp.stack(C1s, axis=1)        # (Bp, S, Wp)
         t2_arr = jnp.stack(T2s, axis=1)
 
+    # rows per grid step: python-unrolled so Mosaic's fixed per-step
+    # cost (bounds checks, copy setup) is paid once per `R` rows.
+    R = max(1, min(rps, 8))
+    while 8 % R:
+        R -= 1
+    grid_r = -(-Lq // R)
+    Lq_r = grid_r * R           # <= Lq8 because R | 8
+
     def kernel(*refs):
         if has_co:
             (si_ref, co_ref, tv_ref, qtr_ref,
@@ -154,11 +168,10 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
         else:
             (si_ref, tv_ref, c1_ref, t2_ref, qtr_ref,
              bestS_ref, bestI_ref, bt_ref, st_ref, bl_ref) = refs
-        r_idx = pl.program_id(1)
-        i = r_idx + 1
+        step = pl.program_id(1)
         lanes = jax.lax.broadcasted_iota(jnp.int32, (TB, Wp), 1)
 
-        @pl.when(r_idx == 0)
+        @pl.when(step == 0)
         def _():
             # row i=0 boundary: MM = 0 everywhere (egq=egt=0), rest -inf
             st_ref[0] = jnp.zeros((TB, Wp), f32)
@@ -176,20 +189,6 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
         tm2i0 = tv[:, 5]
         ti2i0 = tv[:, 6]
 
-        qm2m1 = qtr_ref[M2M, i - 1]
-        qd2m1 = qtr_ref[D2M, i - 1]
-        qi2m1 = qtr_ref[I2M, i - 1]
-        qm2d1 = qtr_ref[M2D, i - 1]
-        qd2d1 = qtr_ref[D2D, i - 1]
-        qm2i0 = qtr_ref[M2I, i]
-        qi2i0 = qtr_ref[I2I, i]
-
-        mm_p = st_ref[0]
-        dg_p = st_ref[1]
-        mi_p = st_ref[2]
-        gd_p = st_ref[3]
-        im_p = st_ref[4]
-
         # When there is at least one padding lane (Wj < Wp), the value
         # wrapped into lane 0 by the circular roll comes from a padding
         # lane that every consumer either masks (A1/A2 lane-0 init, the
@@ -204,164 +203,198 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
                 r = pltpu.roll(x, 1, 1)
                 return jnp.where(lanes == 0, -FLT_MAX, r)
 
-        # ---- MM row: predecessors at (i-1, j-1); gd_p/im_p were
-        # stored pre-shifted so only three rolls remain ----
-        c_mm = upj(mm_p) + qm2m1 + tm2m1
-        best5 = jnp.maximum(sminf, c_mm)
-        code = jnp.where(c_mm > sminf, MM, STOP)
-        c_gd = gd_p + qm2m1 + td2m1
-        code = jnp.where(c_gd > best5, GD, code)
-        best5 = jnp.maximum(best5, c_gd)
-        c_im = im_p + qi2m1 + tm2m1
-        code = jnp.where(c_im > best5, IM, code)
-        best5 = jnp.maximum(best5, c_im)
-        c_dg = upj(dg_p) + qd2m1 + tm2m1
-        code = jnp.where(c_dg > best5, DG, code)
-        best5 = jnp.maximum(best5, c_dg)
-        c_mi = upj(mi_p) + qm2m1 + ti2m1
-        code = jnp.where(c_mi > best5, MI, code)
-        best5 = jnp.maximum(best5, c_mi)
-        mm_row = best5 + si_ref[:, r_idx % 8]     # si already carries co
-        # boundary lane j=0: MM[i][0] = 0 (zero end-gap penalties)
-        mm_row = jnp.where(lanes == 0, 0.0, mm_row)
-
-        # ---- DG/MI rows: predecessors at (i-1, j), element-wise ----
-        a_dg = mm_p + qm2d1
-        b_dg = dg_p + qd2d1
-        bit_dg = a_dg > b_dg
-        dg_row = jnp.maximum(a_dg, b_dg)
-        a_mi = mm_p + qm2m1 + tm2i0
-        b_mi = mi_p + qm2m1 + ti2i0
-        bit_mi = a_mi > b_mi
-        mi_row = jnp.maximum(a_mi, b_mi)
-        if has_co:
-            co = co_ref[:, r_idx % 8]
-            dg_row = dg_row + co
-            mi_row = mi_row + co
-
-        # ---- GD/IM rows: same-row recurrence, Kogge-Stone (max,+) ----
-        mm_row_s = upj(mm_row)                    # MM[i][j-1]
-        a_gd0 = mm_row_s + tm2d1
-        c_gd = td2d1
-        a_im0 = (mm_row_s + qm2i0) + tm2m1
-        c_im = qi2i0 + tm2m1
-        if has_co:
-            a_gd = a_gd0 + co
-            c_gd2 = c_gd + co
-            a_im = a_im0 + co
-            c_im2 = c_im + co
-        else:
-            a_gd, c_gd2, a_im, c_im2 = a_gd0, c_gd, a_im0, c_im
-        A1 = jnp.where(lanes == 0, -FLT_MAX, a_gd)
-        A2 = jnp.where(lanes == 0, -FLT_MAX, a_im)
-        if has_co:
-            C1 = c_gd2
-            C2 = c_im2
-            # Kogge-Stone; only the A rolls need wrap masking.  A C
-            # value rolled across the origin is garbage only in lanes
-            # j < 2^k, and every use of C[j] at the next step pairs it
-            # with an A roll that is masked to -FLT_MAX exactly for
-            # those lanes, so the garbage never reaches a result.
-            for s_ in scan_steps:
-                A1r = jnp.where(lanes < s_, -FLT_MAX,
-                                pltpu.roll(A1, s_, 1))
-                C1r = pltpu.roll(C1, s_, 1)
-                A2r = jnp.where(lanes < s_, -FLT_MAX,
-                                pltpu.roll(A2, s_, 1))
-                C2r = pltpu.roll(C2, s_, 1)
-                A1 = jnp.maximum(A1, A1r + C1)
-                C1 = C1 + C1r
-                A2 = jnp.maximum(A2, A2r + C2)
-                C2 = C2 + C2r
-        else:
-            # Precomputed carries: the folded wrap mask makes the
-            # wrapped-lane candidate <= -FLT_MAX, losing every max
-            # exactly as the explicit mask did.
-            for k, s_ in enumerate(scan_steps):
-                A1 = jnp.maximum(A1, pltpu.roll(A1, s_, 1)
-                                 + c1_ref[:, k])
-                A2 = jnp.maximum(A2, pltpu.roll(A2, s_, 1)
-                                 + (t2_ref[:, k]
-                                    + qi2i0 * f32(float(s_))))
-        gd_row = A1
-        im_row = A2
-        # backtrace bits against the resolved predecessor (pre-cell-off,
-        # matching the wavefront kernels' bit semantics).  The rolled
-        # copies double as next row's pre-shifted GD/IM reads (those
-        # states are only ever consumed at j-1), saving two rolls.
-        gd_row_s = upj(gd_row)
-        im_row_s = upj(im_row)
-        b_gd2 = gd_row_s + td2d1
-        bit_gd = a_gd0 > b_gd2
-        b_im2 = im_row_s + qi2i0 + tm2m1
-        bit_im = a_im0 > b_im2
-
         on = (lanes >= 1) & (lanes <= Lt)
-        # Padding lanes (j > Lt) are left unmasked: under the j-1 shift
-        # they only ever receive live-edge values and feed other padding
-        # lanes, the best-score tracker masks with `on`, and the byte
-        # output is masked below — so garbage there never reaches a
-        # result and the five negfull selects are saved.  Lane 0 of
-        # DG/MI is a real boundary (-inf in the reference) that feeds
-        # lane 1 through the j-1 shift next row, so it keeps its mask.
         lane0 = lanes == 0
-        dg_row = jnp.where(lane0, -FLT_MAX, dg_row)
-        mi_row = jnp.where(lane0, -FLT_MAX, mi_row)
 
-        byte = (code
-                | jnp.where(bit_gd, 8, 0)
-                | jnp.where(bit_im, 16, 0)
-                | jnp.where(bit_dg, 32, 0)
-                | jnp.where(bit_mi, 64, 0))
-        byte = jnp.where(on, byte, 0)
-        bt_ref[0] = byte.astype(jnp.int32)
+        mm_p = st_ref[0]
+        dg_p = st_ref[1]
+        mi_p = st_ref[2]
+        gd_p = st_ref[3]
+        im_p = st_ref[4]
+        bl_s = bl_ref[0]
+        bl_i = bl_ref[1]
 
-        st_ref[0] = mm_row
-        st_ref[1] = dg_row
-        st_ref[2] = mi_row
-        st_ref[3] = gd_row_s
-        st_ref[4] = im_row_s
+        for r in range(R):
+            r_idx = step * R + r
+            i = r_idx + 1
+            si_off = (step * R) % 8 + r if R < 8 else r
 
-        if local:
-            cand = jnp.where(on, mm_row, -FLT_MAX)
-        else:
-            cand = jnp.where(on & ((lanes == Lt) | (i == Lq)),
-                             mm_row, -FLT_MAX)
-        prev = bl_ref[0]
-        better = cand > prev
-        bl_ref[0] = jnp.where(better, cand, prev)
-        bl_ref[1] = jnp.where(better, f32(i), bl_ref[1])
+            qm2m1 = qtr_ref[M2M, i - 1]
+            qd2m1 = qtr_ref[D2M, i - 1]
+            qi2m1 = qtr_ref[I2M, i - 1]
+            qm2d1 = qtr_ref[M2D, i - 1]
+            qd2d1 = qtr_ref[D2D, i - 1]
+            qm2i0 = qtr_ref[M2I, i]
+            qi2i0 = qtr_ref[I2I, i]
 
-        @pl.when(r_idx == Lq - 1)
+            # ---- MM row: predecessors at (i-1, j-1); gd_p/im_p were
+            # stored pre-shifted so only three rolls remain ----
+            c_mm = upj(mm_p) + qm2m1 + tm2m1
+            best5 = jnp.maximum(sminf, c_mm)
+            code = jnp.where(c_mm > sminf, MM, STOP)
+            c_gd = gd_p + qm2m1 + td2m1
+            code = jnp.where(c_gd > best5, GD, code)
+            best5 = jnp.maximum(best5, c_gd)
+            c_im = im_p + qi2m1 + tm2m1
+            code = jnp.where(c_im > best5, IM, code)
+            best5 = jnp.maximum(best5, c_im)
+            c_dg = upj(dg_p) + qd2m1 + tm2m1
+            code = jnp.where(c_dg > best5, DG, code)
+            best5 = jnp.maximum(best5, c_dg)
+            c_mi = upj(mi_p) + qm2m1 + ti2m1
+            code = jnp.where(c_mi > best5, MI, code)
+            best5 = jnp.maximum(best5, c_mi)
+            mm_row = best5 + si_ref[:, si_off]   # si already carries co
+            # boundary lane j=0: MM[i][0] = 0 (zero end-gap penalties)
+            mm_row = jnp.where(lane0, 0.0, mm_row)
+
+            # ---- DG/MI rows: predecessors at (i-1, j), element-wise --
+            a_dg = mm_p + qm2d1
+            b_dg = dg_p + qd2d1
+            bit_dg = a_dg > b_dg
+            dg_row = jnp.maximum(a_dg, b_dg)
+            a_mi = mm_p + qm2m1 + tm2i0
+            b_mi = mi_p + qm2m1 + ti2i0
+            bit_mi = a_mi > b_mi
+            mi_row = jnp.maximum(a_mi, b_mi)
+            if has_co:
+                co = co_ref[:, si_off]
+                dg_row = dg_row + co
+                mi_row = mi_row + co
+
+            # ---- GD/IM rows: same-row recurrence, Kogge-Stone ----
+            mm_row_s = upj(mm_row)                # MM[i][j-1]
+            a_gd0 = mm_row_s + tm2d1
+            c_gd = td2d1
+            a_im0 = (mm_row_s + qm2i0) + tm2m1
+            c_im = qi2i0 + tm2m1
+            if has_co:
+                a_gd = a_gd0 + co
+                c_gd2 = c_gd + co
+                a_im = a_im0 + co
+                c_im2 = c_im + co
+            else:
+                a_gd, c_gd2, a_im, c_im2 = a_gd0, c_gd, a_im0, c_im
+            A1 = jnp.where(lane0, -FLT_MAX, a_gd)
+            A2 = jnp.where(lane0, -FLT_MAX, a_im)
+            if has_co:
+                C1 = c_gd2
+                C2 = c_im2
+                # Kogge-Stone; only the A rolls need wrap masking.  A C
+                # value rolled across the origin is garbage only in
+                # lanes j < 2^k, and every use of C[j] at the next step
+                # pairs it with an A roll that is masked to -FLT_MAX
+                # exactly for those lanes, so the garbage never reaches
+                # a result.
+                for s_ in scan_steps:
+                    A1r = jnp.where(lanes < s_, -FLT_MAX,
+                                    pltpu.roll(A1, s_, 1))
+                    C1r = pltpu.roll(C1, s_, 1)
+                    A2r = jnp.where(lanes < s_, -FLT_MAX,
+                                    pltpu.roll(A2, s_, 1))
+                    C2r = pltpu.roll(C2, s_, 1)
+                    A1 = jnp.maximum(A1, A1r + C1)
+                    C1 = C1 + C1r
+                    A2 = jnp.maximum(A2, A2r + C2)
+                    C2 = C2 + C2r
+            else:
+                # Precomputed carries: the folded wrap mask makes the
+                # wrapped-lane candidate <= -FLT_MAX, losing every max
+                # exactly as the explicit mask did.
+                for k, s_ in enumerate(scan_steps):
+                    A1 = jnp.maximum(A1, pltpu.roll(A1, s_, 1)
+                                     + c1_ref[:, k])
+                    A2 = jnp.maximum(A2, pltpu.roll(A2, s_, 1)
+                                     + (t2_ref[:, k]
+                                        + qi2i0 * f32(float(s_))))
+            gd_row = A1
+            im_row = A2
+            # backtrace bits against the resolved predecessor (pre-
+            # cell-off, matching the wavefront kernels' bit semantics).
+            # The rolled copies double as next row's pre-shifted GD/IM
+            # reads (those states are only ever consumed at j-1),
+            # saving two rolls.
+            gd_row_s = upj(gd_row)
+            im_row_s = upj(im_row)
+            b_gd2 = gd_row_s + td2d1
+            bit_gd = a_gd0 > b_gd2
+            b_im2 = im_row_s + qi2i0 + tm2m1
+            bit_im = a_im0 > b_im2
+
+            # Padding lanes (j > Lt) are left unmasked: under the j-1
+            # shift they only ever receive live-edge values and feed
+            # other padding lanes, the best-score tracker masks with
+            # `on`, and the byte output is masked below — so garbage
+            # there never reaches a result and the five negfull selects
+            # are saved.  Lane 0 of DG/MI is a real boundary (-inf in
+            # the reference) that feeds lane 1 through the j-1 shift
+            # next row, so it keeps its mask.
+            dg_row = jnp.where(lane0, -FLT_MAX, dg_row)
+            mi_row = jnp.where(lane0, -FLT_MAX, mi_row)
+
+            byte = (code
+                    | jnp.where(bit_gd, 8, 0)
+                    | jnp.where(bit_im, 16, 0)
+                    | jnp.where(bit_dg, 32, 0)
+                    | jnp.where(bit_mi, 64, 0))
+            byte = jnp.where(on, byte, 0)
+            bt_ref[r] = byte.astype(jnp.int32)
+
+            if local:
+                cand = jnp.where(on, mm_row, -FLT_MAX)
+            else:
+                cand = jnp.where(on & ((lanes == Lt) | (i == Lq)),
+                                 mm_row, -FLT_MAX)
+            better = cand > bl_s
+            if Lq % R:
+                # rows beyond Lq exist only to fill the last grid step;
+                # their values must not reach the best tracker
+                better = better & (i <= Lq)
+            bl_s = jnp.where(better, cand, bl_s)
+            bl_i = jnp.where(better, f32(1) * i, bl_i)
+
+            mm_p, dg_p, mi_p = mm_row, dg_row, mi_row
+            gd_p, im_p = gd_row_s, im_row_s
+
+        st_ref[0] = mm_p
+        st_ref[1] = dg_p
+        st_ref[2] = mi_p
+        st_ref[3] = gd_p
+        st_ref[4] = im_p
+        bl_ref[0] = bl_s
+        bl_ref[1] = bl_i
+
+        @pl.when(step == grid_r - 1)
         def _():
-            bestS_ref[0] = bl_ref[0]
-            bestI_ref[0] = bl_ref[1]
+            bestS_ref[0] = bl_s
+            bestI_ref[0] = bl_i
 
-    grid = (n_btiles, Lq)
+    grid = (n_btiles, grid_r)
     out_shape = (
         jax.ShapeDtypeStruct((n_btiles, TB, Wp), jnp.float32),
         jax.ShapeDtypeStruct((n_btiles, TB, Wp), jnp.float32),
-        jax.ShapeDtypeStruct((Lq, Bp, Wp), jnp.int32),
+        jax.ShapeDtypeStruct((Lq_r, Bp, Wp), jnp.int32),
     )
-    in_specs = [pl.BlockSpec((TB, 8, Wp), lambda b, r: (b, r // 8, 0))]
+    in_specs = [pl.BlockSpec((TB, 8, Wp),
+                             lambda b, s: (b, (s * R) // 8, 0))]
     inputs = [Si]
     if has_co:
         in_specs.append(
-            pl.BlockSpec((TB, 8, Wp), lambda b, r: (b, r // 8, 0)))
+            pl.BlockSpec((TB, 8, Wp), lambda b, s: (b, (s * R) // 8, 0)))
         inputs.append(co_add)
     in_specs += [
-        pl.BlockSpec((TB, 7, Wp), lambda b, r: (b, 0, 0)),
+        pl.BlockSpec((TB, 7, Wp), lambda b, s: (b, 0, 0)),
     ]
     inputs += [tvec]
     if not has_co:
         S = len(scan_steps)
         in_specs += [
-            pl.BlockSpec((TB, S, Wp), lambda b, r: (b, 0, 0)),
-            pl.BlockSpec((TB, S, Wp), lambda b, r: (b, 0, 0)),
+            pl.BlockSpec((TB, S, Wp), lambda b, s: (b, 0, 0)),
+            pl.BlockSpec((TB, S, Wp), lambda b, s: (b, 0, 0)),
         ]
         inputs += [c1_arr, t2_arr]
     in_specs += [
-        pl.BlockSpec((7, Lqp), lambda b, r: (0, 0),
+        pl.BlockSpec((7, Lqp), lambda b, s: (0, 0),
                      memory_space=pltpu.SMEM),
     ]
     inputs += [qtr_s]
@@ -370,9 +403,9 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
         grid=grid,
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, TB, Wp), lambda b, r: (b, 0, 0)),
-            pl.BlockSpec((1, TB, Wp), lambda b, r: (b, 0, 0)),
-            pl.BlockSpec((1, TB, Wp), lambda b, r: (r, b, 0)),
+            pl.BlockSpec((1, TB, Wp), lambda b, s: (b, 0, 0)),
+            pl.BlockSpec((1, TB, Wp), lambda b, s: (b, 0, 0)),
+            pl.BlockSpec((R, TB, Wp), lambda b, s: (s, b, 0)),
         ),
         out_shape=out_shape,
         scratch_shapes=[
@@ -384,6 +417,7 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
         interpret=interpret,
     )(*inputs)
     bestS, bestI, bt_rows = res
+    bt_rows = bt_rows[:Lq]
 
     # ---- final reduction: score desc, then i asc, then j asc ----
     bestS = bestS.reshape(Bp, Wp)[:B, :Wj]
