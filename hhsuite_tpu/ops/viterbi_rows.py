@@ -338,7 +338,7 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
                     | jnp.where(bit_dg, 32, 0)
                     | jnp.where(bit_mi, 64, 0))
             byte = jnp.where(on, byte, 0)
-            bt_ref[r] = byte.astype(jnp.int32)
+            bt_ref[:, r] = byte.astype(jnp.int32)
 
             if local:
                 cand = jnp.where(on, mm_row, -FLT_MAX)
@@ -373,7 +373,8 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
     out_shape = (
         jax.ShapeDtypeStruct((n_btiles, TB, Wp), jnp.float32),
         jax.ShapeDtypeStruct((n_btiles, TB, Wp), jnp.float32),
-        jax.ShapeDtypeStruct((Lq_r, Bp, Wp), jnp.int32),
+        # batch-major so the (B, Lq, Lt) result needs no transpose pass
+        jax.ShapeDtypeStruct((Bp, Lq_r, Wp), jnp.int32),
     )
     in_specs = [pl.BlockSpec((TB, 8, Wp),
                              lambda b, s: (b, (s * R) // 8, 0))]
@@ -405,7 +406,7 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
         out_specs=(
             pl.BlockSpec((1, TB, Wp), lambda b, s: (b, 0, 0)),
             pl.BlockSpec((1, TB, Wp), lambda b, s: (b, 0, 0)),
-            pl.BlockSpec((R, TB, Wp), lambda b, s: (s, b, 0)),
+            pl.BlockSpec((TB, R, Wp), lambda b, s: (b, s, 0)),
         ),
         out_shape=out_shape,
         scratch_shapes=[
@@ -417,7 +418,6 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
         interpret=interpret,
     )(*inputs)
     bestS, bestI, bt_rows = res
-    bt_rows = bt_rows[:Lq]
 
     # ---- final reduction: score desc, then i asc, then j asc ----
     bestS = bestS.reshape(Bp, Wp)[:B, :Wj]
@@ -441,7 +441,7 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
     best_j = jnp.where(empty, 0, best_j)
 
     if need_bt:
-        bt = jnp.transpose(bt_rows, (1, 0, 2))[:B, :, :Wj]
+        bt = bt_rows[:B, :Lq, :Wj]
         bt = jnp.pad(bt.astype(jnp.uint8), ((0, 0), (1, 0), (0, 0)))
     else:
         bt = jnp.zeros((B, 1, 1), dtype=jnp.uint8)
