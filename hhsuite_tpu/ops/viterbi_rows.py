@@ -163,11 +163,13 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
 
     def kernel(*refs):
         if has_co:
-            (si_ref, co_ref, tv_ref, qtr_ref,
-             bestS_ref, bestI_ref, bt_ref, st_ref, bl_ref) = refs
+            si_ref, co_ref, tv_ref, qtr_ref, *rest = refs
         else:
-            (si_ref, tv_ref, c1_ref, t2_ref, qtr_ref,
-             bestS_ref, bestI_ref, bt_ref, st_ref, bl_ref) = refs
+            si_ref, tv_ref, c1_ref, t2_ref, qtr_ref, *rest = refs
+        if need_bt:
+            bestS_ref, bestI_ref, bt_ref, st_ref, bl_ref = rest
+        else:
+            bestS_ref, bestI_ref, st_ref, bl_ref = rest
         step = pl.program_id(1)
         lanes = jax.lax.broadcasted_iota(jnp.int32, (TB, Wp), 1)
 
@@ -231,18 +233,23 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
             # stored pre-shifted so only three rolls remain ----
             c_mm = upj(mm_p) + qm2m1 + tm2m1
             best5 = jnp.maximum(sminf, c_mm)
-            code = jnp.where(c_mm > sminf, MM, STOP)
+            if need_bt:
+                code = jnp.where(c_mm > sminf, MM, STOP)
             c_gd = gd_p + qm2m1 + td2m1
-            code = jnp.where(c_gd > best5, GD, code)
+            if need_bt:
+                code = jnp.where(c_gd > best5, GD, code)
             best5 = jnp.maximum(best5, c_gd)
             c_im = im_p + qi2m1 + tm2m1
-            code = jnp.where(c_im > best5, IM, code)
+            if need_bt:
+                code = jnp.where(c_im > best5, IM, code)
             best5 = jnp.maximum(best5, c_im)
             c_dg = upj(dg_p) + qd2m1 + tm2m1
-            code = jnp.where(c_dg > best5, DG, code)
+            if need_bt:
+                code = jnp.where(c_dg > best5, DG, code)
             best5 = jnp.maximum(best5, c_dg)
             c_mi = upj(mi_p) + qm2m1 + ti2m1
-            code = jnp.where(c_mi > best5, MI, code)
+            if need_bt:
+                code = jnp.where(c_mi > best5, MI, code)
             best5 = jnp.maximum(best5, c_mi)
             mm_row = best5 + si_ref[:, si_off]   # si already carries co
             # boundary lane j=0: MM[i][0] = 0 (zero end-gap penalties)
@@ -251,11 +258,13 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
             # ---- DG/MI rows: predecessors at (i-1, j), element-wise --
             a_dg = mm_p + qm2d1
             b_dg = dg_p + qd2d1
-            bit_dg = a_dg > b_dg
+            if need_bt:
+                bit_dg = a_dg > b_dg
             dg_row = jnp.maximum(a_dg, b_dg)
             a_mi = mm_p + qm2m1 + tm2i0
             b_mi = mi_p + qm2m1 + ti2i0
-            bit_mi = a_mi > b_mi
+            if need_bt:
+                bit_mi = a_mi > b_mi
             mi_row = jnp.maximum(a_mi, b_mi)
             if has_co:
                 co = co_ref[:, si_off]
@@ -316,10 +325,11 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
             # saving two rolls.
             gd_row_s = upj(gd_row)
             im_row_s = upj(im_row)
-            b_gd2 = gd_row_s + td2d1
-            bit_gd = a_gd0 > b_gd2
-            b_im2 = im_row_s + qi2i0 + tm2m1
-            bit_im = a_im0 > b_im2
+            if need_bt:
+                b_gd2 = gd_row_s + td2d1
+                bit_gd = a_gd0 > b_gd2
+                b_im2 = im_row_s + qi2i0 + tm2m1
+                bit_im = a_im0 > b_im2
 
             # Padding lanes (j > Lt) are left unmasked: under the j-1
             # shift they only ever receive live-edge values and feed
@@ -332,13 +342,14 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
             dg_row = jnp.where(lane0, -FLT_MAX, dg_row)
             mi_row = jnp.where(lane0, -FLT_MAX, mi_row)
 
-            byte = (code
-                    | jnp.where(bit_gd, 8, 0)
-                    | jnp.where(bit_im, 16, 0)
-                    | jnp.where(bit_dg, 32, 0)
-                    | jnp.where(bit_mi, 64, 0))
-            byte = jnp.where(on, byte, 0)
-            bt_ref[:, r] = byte.astype(jnp.int32)
+            if need_bt:
+                byte = (code
+                        | jnp.where(bit_gd, 8, 0)
+                        | jnp.where(bit_im, 16, 0)
+                        | jnp.where(bit_dg, 32, 0)
+                        | jnp.where(bit_mi, 64, 0))
+                byte = jnp.where(on, byte, 0)
+                bt_ref[:, r] = byte.astype(jnp.int32)
 
             if local:
                 cand = jnp.where(on, mm_row, -FLT_MAX)
@@ -370,12 +381,14 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
             bestI_ref[0] = bl_i
 
     grid = (n_btiles, grid_r)
-    out_shape = (
+    out_shape = [
         jax.ShapeDtypeStruct((n_btiles, TB, Wp), jnp.float32),
         jax.ShapeDtypeStruct((n_btiles, TB, Wp), jnp.float32),
+    ]
+    if need_bt:
         # batch-major so the (B, Lq, Lt) result needs no transpose pass
-        jax.ShapeDtypeStruct((Bp, Lq_r, Wp), jnp.int32),
-    )
+        out_shape.append(jax.ShapeDtypeStruct((Bp, Lq_r, Wp), jnp.int32))
+    out_shape = tuple(out_shape)
     in_specs = [pl.BlockSpec((TB, 8, Wp),
                              lambda b, s: (b, (s * R) // 8, 0))]
     inputs = [Si]
@@ -399,15 +412,17 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
                      memory_space=pltpu.SMEM),
     ]
     inputs += [qtr_s]
+    out_specs = [
+        pl.BlockSpec((1, TB, Wp), lambda b, s: (b, 0, 0)),
+        pl.BlockSpec((1, TB, Wp), lambda b, s: (b, 0, 0)),
+    ]
+    if need_bt:
+        out_specs.append(pl.BlockSpec((TB, R, Wp), lambda b, s: (b, s, 0)))
     res = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((1, TB, Wp), lambda b, s: (b, 0, 0)),
-            pl.BlockSpec((1, TB, Wp), lambda b, s: (b, 0, 0)),
-            pl.BlockSpec((TB, R, Wp), lambda b, s: (b, s, 0)),
-        ),
+        out_specs=tuple(out_specs),
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((5, TB, Wp), jnp.float32),
@@ -417,7 +432,10 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(*inputs)
-    bestS, bestI, bt_rows = res
+    if need_bt:
+        bestS, bestI, bt_rows = res
+    else:
+        bestS, bestI = res
 
     # ---- final reduction: score desc, then i asc, then j asc ----
     bestS = bestS.reshape(Bp, Wp)[:B, :Wj]

@@ -61,3 +61,21 @@ def test_rows_global_mode():
     assert np.array_equal(np.asarray(i0), np.asarray(i1))
     assert np.array_equal(np.asarray(j0), np.asarray(j1))
     assert np.array_equal(np.asarray(bt0), np.asarray(bt1))
+
+
+def test_rows_score_only_matches_bt_mode():
+    """need_bt=False (score-only fast path) must return the same
+    score/i2/j2 as the full-backtrace mode."""
+    qp, qtr, tp, ttr, _co, tL = _example_pair(Lq=41, Lt=59, B=8, seed=11)
+    s0, i0, j0, _bt = viterbi_batch_rows(qp, qtr, tp, ttr, None, tL,
+                                         np.float32(-0.03), local=True,
+                                         need_bt=True, tb=8,
+                                         interpret=True)
+    s1, i1, j1, bt1 = viterbi_batch_rows(qp, qtr, tp, ttr, None, tL,
+                                         np.float32(-0.03), local=True,
+                                         need_bt=False, tb=8,
+                                         interpret=True)
+    assert np.array_equal(np.asarray(s0), np.asarray(s1))
+    assert np.array_equal(np.asarray(i0), np.asarray(i1))
+    assert np.array_equal(np.asarray(j0), np.asarray(j1))
+    assert np.asarray(bt1).shape == (8, 1, 1)
