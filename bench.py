@@ -1,5 +1,12 @@
-"""Benchmark: Viterbi DP-cell throughput (GCUPS) of the Pallas wavefront
-kernel on one chip.
+"""Benchmark: Viterbi DP-cell throughput (GCUPS) of the search funnel's
+scoring sweep on one chip.
+
+The search runs a two-pass funnel: the template-lanes score-only kernel
+sweeps every prefiltered template (this is the stage that scales with
+database size), then only the few hundred display/realign candidates are
+re-run through the backtrace kernel (viterbi_rows).  The headline metric
+is the scoring sweep's DP-cell throughput at a realistic operating point
+(1024 templates x 511x511 profiles).
 
 Prints one JSON line {"metric", "value", "unit", "vs_baseline"}.
 Baseline: hhblits-AVX2 best case ~10 GCUPS/socket (BASELINE.md derived
@@ -39,13 +46,13 @@ def main():
 
     on_tpu = any(d.platform != "cpu" for d in jax.devices())
     if on_tpu:
-        from hhsuite_tpu.ops.viterbi_rows import viterbi_batch_rows
+        from hhsuite_tpu.ops.viterbi_lanes import viterbi_score_lanes
 
-        def kern(*a, **kw):
-            return viterbi_batch_rows(*a, tb=64, **kw)
-        # best measured operating point: full 512-lane rows (Wj == Wp
-        # keeps lane-padding waste at zero), 4 batch tiles of 64
-        Lq, Lt, B = 511, 511, 256
+        def kern(qp, qtr, tp, ttr, co, tL, shift, **kw):
+            s = viterbi_score_lanes(qp, qtr, tp, ttr, tL, shift)
+            return s, None, None, jnp.zeros((1, 1, 1), jnp.uint8)
+        # one full lanes tile (8x128 templates), 511x511 profiles
+        Lq, Lt, B = 511, 511, 1024
     else:
         from hhsuite_tpu.ops.viterbi import viterbi_batch
 

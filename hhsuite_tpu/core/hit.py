@@ -135,6 +135,9 @@ class Hit:
     L: int = 0
     irep: int = 1
     lastrep: int = 0
+    # score-only funnel hit: no backtrace path, never printed with an
+    # alignment or realigned (see viterbi_search two-pass funnel)
+    light: bool = False
 
     n_display: int = 0
     sname: List[str] = field(default_factory=list)

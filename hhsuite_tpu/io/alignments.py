@@ -461,6 +461,8 @@ def print_alignments(q: HMM, hitlist, par, S: np.ndarray,
             break
         if nhits >= par.b and hit.Eval > par.E:
             continue
+        if hit.light:
+            continue  # funnel hit without a backtrace path
         nhits += 1
         fa = FullAlignment()
         fa.build(q, hit, par.nseqdis, S)

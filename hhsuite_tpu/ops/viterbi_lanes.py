@@ -41,6 +41,7 @@ def _round_up(x, m):
     __import__("jax").jit,
     static_argnames=("unroll", "interpret"))
 def viterbi_score_lanes(qp, qtr, tp, ttr, t_L, shift, ss_score=None,
+                        ss_lut=None, ss_qidx=None, ss_tidx=None,
                         unroll=4, interpret=False):
     """Best local Viterbi score per template (egq=egt=0, local mode).
 
@@ -49,6 +50,15 @@ def viterbi_score_lanes(qp, qtr, tp, ttr, t_L, shift, ss_score=None,
     profiles) and padded query rows are driven to -FLT_MAX through the
     Si matrix, so no per-lane length masks are needed (template
     padding is handled the same way as in the rows kernel).
+
+    SS scoring (Viterbi::ScoreSS, hhviterbi.h:193-211) can be supplied
+    two ways: a dense precomputed ``ss_score`` (B, Lq+1, Lt+1), or the
+    device-side LUT form — ``ss_lut`` a flat f32 table already
+    ssw-weighted, ``ss_qidx`` (Lq,) int32 per-query-row offsets into
+    the table and ``ss_tidx`` (B, Lt) int32 per-template-column offsets
+    with ss(b,i,j) = ss_lut[ss_qidx[i] + ss_tidx[b,j]].  The LUT form
+    avoids materialising the (B, Lq, Lt) matrix on the host for the
+    big score-only sweeps.
     """
     import jax
     import jax.numpy as jnp
@@ -82,6 +92,12 @@ def viterbi_score_lanes(qp, qtr, tp, ttr, t_L, shift, ss_score=None,
         ss = jnp.pad(ss_score[:, 1:, 1:], ((0, Bp - B), (0, 0), (0, 0)))
         ss = ss.reshape(nB, G, BK, Lq, Lt)
         Si = Si + jnp.transpose(ss, (0, 4, 3, 1, 2))
+    elif ss_lut is not None:
+        ti = jnp.pad(ss_tidx.astype(jnp.int32), ((0, Bp - B), (0, 0)))
+        ti = jnp.transpose(ti.reshape(nB, G, BK, Lt),
+                           (0, 3, 1, 2))[:, :, None]    # (nB,Lt,1,8,128)
+        qi = ss_qidx.astype(jnp.int32)[None, None, :, None, None]
+        Si = Si + jnp.take(ss_lut.astype(f32), qi + ti, axis=0)
     # padded query rows get -FLT_MAX so they can never win the best
     # tracker (local mode restarts at 0, so the pad must sit in Si)
     Si = jnp.pad(Si, ((0, 0), (0, 0), (0, Lq8 - Lq), (0, 0), (0, 0)),

@@ -191,6 +191,8 @@ def perform_realign(par: Parameters, q_realign: HMM, hitlist: HitList,
                 continue
         if hit.L > Lmaxmem:
             continue
+        if hit.light:
+            continue  # funnel hit without a Viterbi path
         selected.append(hit)
         n_realign += 1
 
@@ -282,7 +284,7 @@ def premerge_hits(par: Parameters, q_re: HMM, qali, hitlist: HitList,
     for hit in list(hitlist):
         if count >= par.premerge:
             break
-        if hit.L > Lmaxmem:
+        if hit.L > Lmaxmem or hit.light:
             continue
         if count >= max(par.B, par.Z):
             break

@@ -176,6 +176,42 @@ def _on_tpu() -> bool:
         return False
 
 
+def _funnel_ok() -> bool:
+    """Hardware gate for the two-pass score-only funnel (separate from
+    _on_tpu so tests can force the funnel on the CPU interpret path)."""
+    return _on_tpu()
+
+
+def build_ss_lut(q: HMM, templates: List[HMM], ss_hmm_mode: int,
+                 ssw: float, S73, S37, S33, Lt_max: int):
+    """Device-side form of Viterbi::ScoreSS (hhviterbi.h:193-211):
+    a flat ssw-weighted table plus per-query-row / per-template-column
+    offsets such that ss(b,i,j) = lut[qidx[i] + tidx[b,j]]."""
+    Lq = q.L
+    qi = np.arange(1, Lq + 1)
+    tidx = np.zeros((len(templates), Lt_max), dtype=np.int32)
+    if ss_hmm_mode == PRED_DSSP:
+        lut = (ssw * S37).reshape(-1).astype(np.float32)
+        qidx = ((q.ss_pred[qi] * MAXCF + q.ss_conf[qi])
+                * NDSSP).astype(np.int32)
+        for b, t in enumerate(templates):
+            tidx[b, : t.L] = t.ss_dssp[1: t.L + 1]
+    elif ss_hmm_mode == DSSP_PRED:
+        lut = (ssw * S73).reshape(-1).astype(np.float32)
+        qidx = (q.ss_dssp[qi] * (NSSPRED * MAXCF)).astype(np.int32)
+        for b, t in enumerate(templates):
+            tj = np.arange(1, t.L + 1)
+            tidx[b, : t.L] = t.ss_pred[tj] * MAXCF + t.ss_conf[tj]
+    else:  # PRED_PRED
+        lut = (ssw * S33).reshape(-1).astype(np.float32)
+        qidx = ((q.ss_pred[qi] * MAXCF + q.ss_conf[qi])
+                * (NSSPRED * MAXCF)).astype(np.int32)
+        for b, t in enumerate(templates):
+            tj = np.arange(1, t.L + 1)
+            tidx[b, : t.L] = t.ss_pred[tj] * MAXCF + t.ss_conf[tj]
+    return lut, qidx, tidx
+
+
 def _dispatch_kernel(qp, qtr, tp, ttr, cell_off, t_L, shift, egq, egt,
                      ss_batch, local):
     """Pick the Pallas TPU kernel when running on TPU hardware with the
@@ -202,6 +238,19 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
 
     ``templates``: list of (entry_name, prepared HMM).  Returns all hits
     (irep 1..altali) exactly like ViterbiRunner::alignment.
+
+    On TPU the first alignment pass runs a two-pass funnel: the
+    score-only lanes kernel sweeps every template (~3.4x the
+    throughput of the backtrace kernel), then only candidates that can
+    be displayed, realigned, or enter the altali loop — the running
+    global top-2*max(Z,B,realign_max) by score plus everything above
+    par.smin — are re-run through the backtrace kernel for full paths.
+    The rest become path-less "light" hits (hit.light=True) that carry
+    the kernel score for E-values and early stopping but are never
+    printed with alignments or realigned.  This mirrors the
+    reference's display/realign caps (src/hhdecl.cpp:165-169); light
+    hits lack the correlation-score term (src/hhviterbi.cpp:243-252),
+    which only affects hits far outside the reporting caps.
     """
     if ss_matrices is not None:
         S73, S37, S33 = (ss_matrices.S73, ss_matrices.S37, ss_matrices.S33)
@@ -299,6 +348,74 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                     exclude.setdefault(tid, []).append(
                         (i_steps.copy(), j_steps.copy()))
 
+    def _lanes_scores(junk) -> np.ndarray:
+        """Score-only sweep with the template-lanes kernel."""
+        from ..ops.viterbi_lanes import viterbi_score_lanes
+
+        interp = not _on_tpu()   # tests force the funnel on CPU
+        scores = np.full(len(junk), -FLT_MAX, dtype=np.float32)
+        SB = 1024
+        qp_f = q.p.astype(np.float32)
+        qtr_f = q.tr.astype(np.float32)
+        for s in range(0, len(junk), SB):
+            idxs = junk[s: s + SB]
+            batch = [tmpl_list[i] for i in idxs]
+            # quantise the pad length and fix the sub-batch size so the
+            # jit cache stays small across blocks/queries
+            Lt_max = max(128, -(-max(t.L for t in batch) // 128) * 128)
+            tp, ttr, t_L = pack_templates(batch, Lt_max)
+            nb = len(batch)
+            if nb < SB and len(junk) > SB:
+                tp = np.pad(tp, ((0, SB - nb), (0, 0), (0, 0)))
+                ttr = np.pad(ttr, ((0, SB - nb), (0, 0), (0, 0)),
+                             constant_values=-FLT_MAX)
+                t_L = np.pad(t_L, (0, SB - nb))
+            ss_hmm_mode = compute_ss_hmm_mode(q, batch) \
+                if par.ssm == 2 else NO_SS_INFORMATION
+            kw = {}
+            if ss_hmm_mode != NO_SS_INFORMATION:
+                lut, qidx, tidx = build_ss_lut(
+                    q, batch, ss_hmm_mode, par.ssw, S73, S37, S33, Lt_max)
+                if tidx.shape[0] < tp.shape[0]:
+                    tidx = np.pad(tidx, ((0, tp.shape[0] - tidx.shape[0]),
+                                         (0, 0)))
+                kw = dict(ss_lut=lut, ss_qidx=qidx, ss_tidx=tidx)
+            sc = viterbi_score_lanes(qp_f, qtr_f, tp, ttr, t_L,
+                                     np.float32(par.shift),
+                                     interpret=interp, **kw)
+            scores[s: s + len(idxs)] = np.asarray(sc)[: len(idxs)]
+        return scores
+
+    def _make_light_hit(tid: int, sc: float, ss_on: bool) -> Hit:
+        t = tmpl_list[tid]
+        hit = Hit()
+        hit.init_from_hmm(q, t, par.nseqdis, par.ssm)
+        hit.entry = templates[tid][0]
+        hit.file = t.file
+        hit.light = True
+        hit.lastrep = 1
+        hit.score = float(sc)
+        hit.score_ss = 0.0
+        hit.score_aass = -float(sc)
+        hit.S = np.zeros(1, dtype=np.float32)
+        hit.S_ss = np.zeros(1, dtype=np.float32)
+        hit.i = np.zeros(1, dtype=np.int32)
+        hit.j = np.zeros(1, dtype=np.int32)
+        hit.states = np.zeros(1, dtype=np.int32)
+        hit.nsteps = 0
+        hit.matched_cols = 0
+        hit.i1 = hit.i2 = hit.j1 = hit.j2 = 0
+        hit.irep = 1
+        hit.ssm2 = 1 if ss_on else 0
+        return hit
+
+    K_cap = 2 * max(par.Z, par.B, par.realign_max, par.z, par.b)
+    use_funnel = (_funnel_ok() and par.egq == 0.0 and par.egt == 0.0
+                  and bool(par.loc) and q.L <= 512
+                  and not (par.exclstr or par.template_exclstr)
+                  and len(templates) > K_cap)
+    funnel_scores: List[float] = []   # all pass-1 scores so far (global)
+
     for alignment in range(par.altali):
         if not alive:
             break
@@ -315,7 +432,30 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
             # thread utilization; here it makes padded batches tight)
             junk.sort(key=lambda idx: -tmpl_list[idx].L)
             junk_hit_start = len(hits)
-            _run_junk(junk)
+            if alignment == 0 and use_funnel:
+                scores = _lanes_scores(junk)
+                funnel_scores.extend(scores.tolist())
+                allsc = np.asarray(funnel_scores, dtype=np.float32)
+                if len(allsc) > K_cap:
+                    cutoff = float(np.partition(allsc, -K_cap)[-K_cap])
+                else:
+                    cutoff = -FLT_MAX
+                # keep everything that can be displayed/realigned (the
+                # running global top-K) or enter the altali loop (smin,
+                # with margin for the missing corr/ss adjustments)
+                keep = (scores >= cutoff) | (scores > par.smin - 2.0)
+                full = [junk[k] for k in range(len(junk)) if keep[k]]
+                _run_junk(full)
+                ss_on = par.ssm == 2 and compute_ss_hmm_mode(
+                    q, [tmpl_list[i] for i in junk[:1]]) \
+                    != NO_SS_INFORMATION if junk else False
+                for k in range(len(junk)):
+                    if not keep[k]:
+                        hits.append(_make_light_hit(junk[k],
+                                                    float(scores[k]),
+                                                    ss_on))
+            else:
+                _run_junk(junk)
             if alignment == 0 and par.early_stopping_filter:
                 junk_hits = hits[junk_hit_start:]
                 es = calculate_early_stop(par, q, junk_hits)
