@@ -16,6 +16,8 @@ import numpy as np
 
 from .. import fastmath as fm
 from ..constants import D2D, HMMSCALE, NAA, NTRANS, S2A
+
+_S2A20 = np.array(S2A[:20], dtype=np.int64)
 from ..core.hmm import HMM
 
 
@@ -270,11 +272,14 @@ def read_hhm(text: str, pb_out: Optional[np.ndarray] = None,
                 if i > L or i > maxres - 2:
                     getline()
                     continue
-                # t = [res, i, 20 values..., l]
+                # t = [res, i, 20 values..., l]; one vectorized fpow2
+                # per row (elementwise, so bit-identical to the scalar
+                # loop it replaces)
                 vals = t[2:22]
-                for a in range(20):
-                    v = 99999 if vals[a] == "*" else int(vals[a])
-                    q.f[i, S2A[a]] = fm.fpow2(np.float32(-v) / HMMSCALE)
+                varr = np.array([99999 if v == "*" else int(v)
+                                 for v in vals], dtype=np.int64)
+                q.f[i, _S2A20] = fm.fpow2(
+                    np.float32(-varr) / HMMSCALE)
                 q.l[i] = int(t[22]) if len(t) > 22 else i
                 line = getline()
                 t = line.split()

@@ -12,6 +12,8 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -141,6 +143,369 @@ static PyObject *expand_ca3m_record(PyObject *, PyObject *args) {
                                    static_cast<Py_ssize_t>(out.size()));
 }
 
+/* ---------------------------------------------------------------------
+ * Posterior decoder hot loops (Forward/Backward/MAC), bit-identical to
+ * search/posterior.py's _forward/_backward/_mac (which in turn mirror
+ * src/hhforwardalgorithm.cpp / hhbackwardalgorithm.cpp /
+ * hhmacalgorithm.cpp): double-precision row-rescaled F/B over a
+ * cell-off corridor, float32 fast-math helpers, float32 MAC DP.
+ * ------------------------------------------------------------------- */
+
+static inline float fpow2f(float x) {
+  /* util-inl.h:190-215 truncation trick + poly4 (see fastmath.fpow2) */
+  float tx = (x - 0.5f) + (float)(3 << 22);
+  int32_t lx;
+  memcpy(&lx, &tx, 4);
+  lx -= 0x4B400000;
+  float dx = x - (float)lx;
+  float p = 0.0134929f;
+  p = dx * p + 0.0520749f;
+  p = dx * p + 0.241404f;
+  p = dx * p + 0.693019f;
+  float r = dx * p + 1.0f;
+  int32_t bits;
+  memcpy(&bits, &r, 4);
+  bits += (lx << 23);
+  memcpy(&r, &bits, 4);
+  if (x >= 128.0f) r = 3.402823466e+38f;
+  if (x <= -125.0f) r = 0.0f;
+  return r;
+}
+
+static inline float sp20(const float *a, const float *b) {
+  /* hhhit-inl.h:62-120 SSE summation tree (see fastmath.scalar_prod20) */
+  float p[20];
+  for (int l = 0; l < 20; l++) p[l] = a[l] * b[l];
+  float lanes[4];
+  for (int l = 0; l < 4; l++)
+    lanes[l] = ((p[l] + p[l + 4]) + (p[l + 8] + p[l + 12])) + p[l + 16];
+  return (lanes[3] + lanes[2]) + (lanes[1] + lanes[0]);
+}
+
+enum { T_M2M = 0, T_M2I = 1, T_M2D = 2, T_I2M = 3, T_I2I = 4,
+       T_D2M = 5, T_D2D = 6 };
+enum { S_STOP = 0, S_MM = 2, S_GD = 3, S_IM = 4, S_DG = 5, S_MI = 6 };
+
+struct Arr2f {
+  const float *d;
+  Py_ssize_t cols;
+  const float *row(Py_ssize_t i) const { return d + i * cols; }
+};
+struct Arr2d {
+  const double *d;
+  Py_ssize_t cols;
+  const double *row(Py_ssize_t i) const { return d + i * cols; }
+};
+
+/* posterior_fb_mac(qp, tp, qtr, ttr, co, ss, p_mm, scale, bmac,
+ *                  shift, local, mact)
+ *   qp (Lq+2,20) f32 C; tp (Lt+2,20) f32 C; qtr/(Lq+?,7) f64; ttr f64;
+ *   co (Lq+1,Lt+1) uint8; ss (Lq+2,Lt+2) f32 (zeros when no SS);
+ *   p_mm (Lq+1,Lt+1) f64 out; scale (Lq+2) f64 out;
+ *   bmac (Lq+1,Lt+1) uint8 out.
+ * Returns (Pforward, score, fwd_triples, bwd_triples, i2, j2).
+ */
+static PyObject *posterior_fb_mac(PyObject *, PyObject *args) {
+  Py_buffer qp_b, tp_b, qtr_b, ttr_b, co_b, ss_b, pmm_b, sc_b, bm_b;
+  double shift, mact;
+  int local;
+  if (!PyArg_ParseTuple(args, "y*y*y*y*y*y*w*w*w*did", &qp_b, &tp_b,
+                        &qtr_b, &ttr_b, &co_b, &ss_b, &pmm_b, &sc_b,
+                        &bm_b, &shift, &local, &mact))
+    return nullptr;
+
+  Py_ssize_t Lt1 = 0;  /* columns of p_mm = Lt+1 */
+  PyObject *ret = nullptr;
+  {
+    /* geometry from buffer sizes */
+    Py_ssize_t Lq2 = qp_b.len / (Py_ssize_t)(20 * sizeof(float));
+    Py_ssize_t Lt2 = tp_b.len / (Py_ssize_t)(20 * sizeof(float));
+    Py_ssize_t Lq = Lq2 - 2, Lt = Lt2 - 2;
+    Lt1 = Lt + 1;
+    Arr2f qp{(const float *)qp_b.buf, 20};
+    Arr2f tp{(const float *)tp_b.buf, 20};
+    Arr2d qtr{(const double *)qtr_b.buf, 7};
+    Arr2d ttr{(const double *)ttr_b.buf, 7};
+    const unsigned char *co = (const unsigned char *)co_b.buf;
+    Arr2f ss{(const float *)ss_b.buf, Lt + 2};
+    double *p_mm = (double *)pmm_b.buf;
+    double *scale = (double *)sc_b.buf;
+    unsigned char *bmac = (unsigned char *)bm_b.buf;
+    const double DBL_MIN100 = 2.2250738585072014e-308 * 100.0;
+    const float fshift = (float)shift;
+    const double Cshift = pow(2.0, (double)fshift);
+
+    std::vector<double> prev((Lt + 2) * 5, 0.0), curr((Lt + 2) * 5, 0.0);
+    /* state col order matches the Python arrays: mm, mi, dg, im, gd */
+    const int MMc = 0, MIc = 1, DGc = 2, IMc = 3, GDc = 4;
+#define P(jj, s) prev[(jj) * 5 + (s)]
+#define C(jj, s) curr[(jj) * 5 + (s)]
+
+    /* ------------------------------- forward ------------------------ */
+    double pmin = local ? 1.0 : 0.0;
+    std::fill(curr.begin(), curr.end(), 0.0);
+    for (Py_ssize_t j = 1; j <= Lt; j++) {
+      if (co[1 * Lt1 + j]) continue;
+      C(j, MMc) = (double)sp20(qp.row(1), tp.row(j)) * Cshift;
+      C(j, IMc) = C(j - 1, MMc) * qtr.row(1)[T_M2I] * ttr.row(j - 1)[T_M2M]
+                  + C(j - 1, IMc) * qtr.row(1)[T_I2I] * ttr.row(j - 1)[T_M2M];
+      C(j, GDc) = C(j - 1, MMc) * ttr.row(j - 1)[T_M2D]
+                  + C(j - 1, GDc) * ttr.row(j - 1)[T_D2D];
+    }
+    for (Py_ssize_t j = 0; j <= Lt; j++) p_mm[1 * Lt1 + j] = C(j, MMc);
+    prev = curr;
+    scale[0] = scale[1] = scale[2] = 1.0;
+    double scale_prod = 1.0;
+
+    for (Py_ssize_t i = 2; i <= Lq; i++) {
+      const Py_ssize_t jmin = 1;
+      if (scale_prod < DBL_MIN100)
+        scale_prod = 0.0;
+      else
+        scale_prod *= scale[i];
+      std::fill(curr.begin(), curr.end(), 0.0);
+      const unsigned char *row_co = co + i * Lt1;
+      const double *qi1 = qtr.row(i - 1);
+      if (!row_co[jmin]) {
+        /* reference quirk: ScoreSS at (1, Lt+1) for the jmin column */
+        float ss0 = ss.row(1)[Lt + 1];
+        C(jmin, MMc) = scale_prod * (double)fpow2f(ss0)
+                       * (double)sp20(qp.row(i), tp.row(jmin)) * Cshift;
+        C(jmin, MIc) = scale[i] * (P(jmin, MMc) * qi1[T_M2M]
+                                       * ttr.row(jmin)[T_M2I]
+                                   + P(jmin, MIc) * qi1[T_M2M]
+                                         * ttr.row(jmin)[T_I2I]);
+        C(jmin, DGc) = scale[i] * (P(jmin, MMc) * qi1[T_M2D]
+                                   + P(jmin, DGc) * qi1[T_D2D]);
+      }
+      p_mm[i * Lt1 + jmin] = C(jmin, MMc);
+      double Pmax_i = 0.0;
+      const double *qi0 = qtr.row(i);
+      for (Py_ssize_t j = jmin + 1; j <= Lt; j++) {
+        if (row_co[j]) continue;
+        const double *tj1 = ttr.row(j - 1);
+        const double *tj0 = ttr.row(j);
+        float ssv = ss.row(i)[j];
+        double mm = (double)sp20(qp.row(i), tp.row(j)) * Cshift
+                    * (double)fpow2f(ssv) * scale[i]
+                    * (pmin
+                       + P(j - 1, MMc) * qi1[T_M2M] * tj1[T_M2M]
+                       + P(j - 1, GDc) * qi1[T_M2M] * tj1[T_D2M]
+                       + P(j - 1, IMc) * qi1[T_I2M] * tj1[T_M2M]
+                       + P(j - 1, DGc) * qi1[T_D2M] * tj1[T_M2M]
+                       + P(j - 1, MIc) * qi1[T_M2M] * tj1[T_I2M]);
+        C(j, MMc) = mm;
+        C(j, GDc) = C(j - 1, MMc) * tj1[T_M2D] + C(j - 1, GDc) * tj1[T_D2D];
+        C(j, IMc) = C(j - 1, MMc) * qi0[T_M2I] * tj1[T_M2M]
+                    + C(j - 1, IMc) * qi0[T_I2I] * tj1[T_M2M];
+        C(j, DGc) = scale[i] * (P(j, MMc) * qi1[T_M2D]
+                                + P(j, DGc) * qi1[T_D2D]);
+        C(j, MIc) = scale[i] * (P(j, MMc) * qi1[T_M2M] * tj0[T_M2I]
+                                + P(j, MIc) * qi1[T_M2M] * tj0[T_I2I]);
+        if (mm > Pmax_i) Pmax_i = mm;
+      }
+      for (Py_ssize_t j = 0; j <= Lt; j++) p_mm[i * Lt1 + j] = C(j, MMc);
+      prev = curr;
+      pmin *= scale[i];
+      if (pmin < DBL_MIN100) pmin = 0.0;
+      scale[i + 1] = 1.0 / (Pmax_i + 1.0);
+    }
+
+    double Pforward;
+    if (local) {
+      Pforward = 1.0;
+      for (Py_ssize_t i = 1; i <= Lq; i++) {
+        double s = 0.0;
+        for (Py_ssize_t j = 1; j <= Lt; j++) s += p_mm[i * Lt1 + j];
+        Pforward += s;
+        Pforward *= scale[i + 1];
+      }
+    } else {
+      Pforward = 0.0;
+      for (Py_ssize_t i = 1; i < Lq; i++)
+        Pforward = (Pforward + p_mm[i * Lt1 + Lt]) * scale[i + 1];
+      double s = 0.0;
+      for (Py_ssize_t j = 1; j <= Lt; j++) s += p_mm[Lq * Lt1 + j];
+      Pforward += s;
+      Pforward *= scale[Lq + 1];
+    }
+
+    double score = log2(Pforward) - 10.0;
+    for (Py_ssize_t i = 1; i <= Lq + 1; i++) score -= log2(scale[i]);
+    if (local)
+      score -= log((double)(Lt * Lq)) / 0.388 + 14.0;
+
+    /* sparse forward triples (hhforwardalgorithm.cpp:185-220) */
+    PyObject *fwd = PyList_New(0);
+    {
+      double scale_prod_curr = 1.0;
+      for (Py_ssize_t i = 1; i <= Lq; i++) {
+        if (scale_prod_curr < DBL_MIN100)
+          scale_prod_curr = 0.0;
+        else
+          scale_prod_curr *= scale[i];
+        if (scale_prod_curr == 0.0) continue;
+        double scale_rate = (scale_prod * scale[Lq + 1]) / scale_prod_curr;
+        for (Py_ssize_t j = 1; j <= Lt; j++) {
+          double v = p_mm[i * Lt1 + j] / Pforward * scale_rate;
+          if (v > 1e-4) {
+            PyObject *tup = Py_BuildValue("(nnd)", i, j, v);
+            PyList_Append(fwd, tup);
+            Py_DECREF(tup);
+          }
+        }
+      }
+    }
+
+    /* ------------------------------- backward ----------------------- */
+    std::fill(prev.begin(), prev.end(), 0.0);
+    for (Py_ssize_t j = Lt; j >= 1; j--) {
+      if (co[Lq * Lt1 + j]) {
+        p_mm[Lq * Lt1 + j] = 0.0;
+      } else {
+        P(j, MMc) = scale[Lq + 1];
+        p_mm[Lq * Lt1 + j] = p_mm[Lq * Lt1 + j] * scale[Lq + 1] / Pforward;
+      }
+    }
+    pmin = local ? scale[Lq + 1] : 0.0;
+    scale_prod = scale[Lq + 1];
+    double final_scale_prod = scale[Lq + 1];
+    for (Py_ssize_t i = Lq - 1; i >= 1; i--) {
+      final_scale_prod *= scale[i + 1];
+      if (final_scale_prod < DBL_MIN100) final_scale_prod = 0.0;
+    }
+    PyObject *bwd = PyList_New(0);
+
+    for (Py_ssize_t i = Lq - 1; i >= 1; i--) {
+      const Py_ssize_t jmin = 1;
+      scale_prod *= scale[i + 1];
+      if (scale_prod < DBL_MIN100) scale_prod = 0.0;
+      std::fill(curr.begin(), curr.end(), 0.0);
+      if (co[i * Lt1 + Lt]) {
+        p_mm[i * Lt1 + Lt] = 0.0;
+      } else {
+        C(Lt, MMc) = scale_prod;
+        p_mm[i * Lt1 + Lt] = p_mm[i * Lt1 + Lt] * scale_prod / Pforward;
+      }
+      pmin *= scale[i + 1];
+      if (pmin < DBL_MIN100) pmin = 0.0;
+      const unsigned char *row_co = co + i * Lt1;
+      const double *qi0 = qtr.row(i);
+      for (Py_ssize_t j = Lt - 1; j >= jmin; j--) {
+        if (row_co[j]) continue;
+        const double *tj0 = ttr.row(j);
+        float ssv = ss.row(i + 1)[j + 1];
+        double pmatch = P(j + 1, MMc)
+                        * (double)sp20(qp.row(i + 1), tp.row(j + 1))
+                        * (double)fpow2f(ssv) * Cshift * scale[i + 1];
+        C(j, MMc) = pmin
+                    + pmatch * qi0[T_M2M] * tj0[T_M2M]
+                    + C(j + 1, GDc) * tj0[T_M2D]
+                    + C(j + 1, IMc) * qi0[T_M2I] * tj0[T_M2M]
+                    + P(j, DGc) * qi0[T_M2D] * scale[i + 1]
+                    + P(j, MIc) * qi0[T_M2M] * tj0[T_M2I] * scale[i + 1];
+        C(j, GDc) = pmatch * qi0[T_M2M] * tj0[T_D2M]
+                    + C(j + 1, GDc) * tj0[T_D2D];
+        C(j, IMc) = pmatch * qi0[T_I2M] * tj0[T_M2M]
+                    + C(j + 1, IMc) * qi0[T_I2I] * tj0[T_M2M];
+        C(j, DGc) = pmatch * qi0[T_D2M] * tj0[T_M2M]
+                    + P(j, DGc) * qi0[T_D2D] * scale[i + 1];
+        C(j, MIc) = pmatch * qi0[T_M2M] * tj0[T_I2M]
+                    + P(j, MIc) * qi0[T_M2M] * tj0[T_I2I] * scale[i + 1];
+      }
+      for (Py_ssize_t jj = jmin; jj < Lt; jj++)
+        p_mm[i * Lt1 + jj] *= C(jj, MMc) / Pforward;
+      if (final_scale_prod != 0.0 && scale_prod != 0.0) {
+        for (Py_ssize_t j = jmin; j < Lt; j++) {
+          if (row_co[j] || C(j, MMc) == 0.0) continue;
+          double val = (double)sp20(qp.row(i), tp.row(j)) * Cshift
+                       * C(j, MMc) / Pforward * final_scale_prod
+                       / scale_prod;
+          if (val > 1e-4) {
+            PyObject *tup = Py_BuildValue("(nnd)", i, j, val);
+            PyList_Append(bwd, tup);
+            Py_DECREF(tup);
+          }
+        }
+      }
+      prev = curr;
+    }
+    PyList_Sort(bwd);  /* (i, j, val) ascending, like sorted(bwd) */
+
+    /* --------------------------------- MAC -------------------------- */
+    Py_ssize_t hi2 = 0, hj2 = 0;
+    {
+      std::vector<float> S_prev(Lt + 1, 0.0f), S_curr(Lt + 1, 0.0f);
+      double score_MAC = -3.402823466e+38;
+      const float mact32 = (float)mact;
+      const float half = 0.5f * mact32;
+      const float NFLT_MIN = -1.175494351e-38f;
+      for (Py_ssize_t i = 1; i <= Lq; i++) {
+        std::fill(S_curr.begin(), S_curr.end(), 0.0f);
+        const unsigned char *row_co = co + i * Lt1;
+        const double *pr = p_mm + i * Lt1;
+        unsigned char *br = bmac + i * Lt1;
+        for (Py_ssize_t j = 1; j <= Lt; j++) {
+          if (row_co[j]) {
+            S_curr[j] = NFLT_MIN;
+            br[j] = S_STOP;
+            continue;
+          }
+          float post = (float)pr[j];
+          float term1 = post - mact32;
+          float term2 = (S_prev[j - 1] + post) - mact32;
+          float term3 = S_prev[j] - half;
+          float term4 = S_curr[j - 1] - half;
+          float mx;
+          unsigned char val;
+          if (term1 > term2) {
+            mx = term1;
+            val = S_STOP;
+          } else {
+            mx = term2;
+            val = S_MM;
+          }
+          if (term3 > mx) {
+            mx = term3;
+            val = S_MI;
+          }
+          if (term4 > mx) {
+            mx = term4;
+            val = S_IM;
+          }
+          S_curr[j] = mx;
+          br[j] = val;
+          if ((double)mx > score_MAC && (local || i == Lq)) {
+            hi2 = i;
+            hj2 = j;
+            score_MAC = (double)mx;
+          }
+        }
+        if (!local && (double)S_curr[Lt] > score_MAC) {
+          hi2 = i;
+          hj2 = Lt;
+          score_MAC = (double)S_curr[Lt];
+        }
+        S_prev.swap(S_curr);
+      }
+    }
+
+    ret = Py_BuildValue("(ddNNnn)", Pforward, score, fwd, bwd, hi2, hj2);
+#undef P
+#undef C
+  }
+  PyBuffer_Release(&qp_b);
+  PyBuffer_Release(&tp_b);
+  PyBuffer_Release(&qtr_b);
+  PyBuffer_Release(&ttr_b);
+  PyBuffer_Release(&co_b);
+  PyBuffer_Release(&ss_b);
+  PyBuffer_Release(&pmm_b);
+  PyBuffer_Release(&sc_b);
+  PyBuffer_Release(&bm_b);
+  return ret;
+}
+
 static PyMethodDef Methods[] = {
     {"parse_index", parse_index, METH_VARARGS,
      "parse .ffindex text -> list[(name, offset, length)]"},
@@ -148,6 +513,8 @@ static PyMethodDef Methods[] = {
      "decode ca3m member records -> list[(entry, start, blocks)]"},
     {"expand_ca3m_record", expand_ca3m_record, METH_VARARGS,
      "expand one ca3m member record -> a3m row bytes"},
+    {"posterior_fb_mac", posterior_fb_mac, METH_VARARGS,
+     "Forward/Backward/MAC posterior decoding hot loops"},
     {nullptr, nullptr, 0, nullptr}};
 
 static struct PyModuleDef moduledef = {

@@ -163,10 +163,77 @@ class PosteriorDecoder:
         self.ssw = ssw
         self.S73, self.S37, self.S33 = S73, S37, S33
 
+    def _ss_matrix(self, q: HMM, t: HMM, ssm: int) -> np.ndarray:
+        """Dense (Lq+2, Lt+2) float32 grid of _score_ss_single values
+        (same index clamping), for the native decoder."""
+        Lq, Lt = q.L, t.L
+        out = np.zeros((Lq + 2, Lt + 2), dtype=np.float32)
+        if ssm == 0 or self.S73 is None:
+            return out
+        ii = np.arange(Lq + 2)
+        jj = np.arange(Lt + 2)
+        iq = np.minimum(ii, q.ss_pred.shape[0] - 1)
+        jt = np.minimum(jj, t.ss_pred.shape[0] - 1)
+        if ssm == 1:      # PRED_DSSP
+            out[:] = (self.ssw * self.S37[q.ss_pred[iq][:, None],
+                                          q.ss_conf[iq][:, None],
+                                          t.ss_dssp[jt][None, :]]
+                      ).astype(np.float32)
+        elif ssm == 2:    # DSSP_PRED
+            out[:] = (self.ssw * self.S73[q.ss_dssp[iq][:, None],
+                                          t.ss_pred[jt][None, :],
+                                          t.ss_conf[jt][None, :]]
+                      ).astype(np.float32)
+        elif ssm == 3:    # PRED_PRED
+            out[:] = (self.ssw * self.S33[q.ss_pred[iq][:, None],
+                                          q.ss_conf[iq][:, None],
+                                          t.ss_pred[jt][None, :],
+                                          t.ss_conf[jt][None, :]]
+                      ).astype(np.float32)
+        return out
+
+    def _fb_mac_native(self, nat, q, t, hit, p_mm, co, shift, mact,
+                       scale) -> Optional[np.ndarray]:
+        """Run _forward/_backward/_mac through the C++ decoder
+        (bit-identical hot loops); returns the MAC byte matrix."""
+        Lq, Lt = q.L, t.L
+
+        def prof(p, L):
+            out = np.zeros((L + 2, 20), dtype=np.float32)
+            rows = min(p.shape[0], L + 2)
+            out[:rows] = p[:rows, :20]
+            return out
+
+        def trans(tr, L):
+            out = np.zeros((L + 2, 7), dtype=np.float64)
+            rows = min(tr.shape[0], L + 2)
+            out[:rows] = tr[:rows, :7]
+            return out
+
+        qp32 = prof(q.p, Lq)
+        tp32 = prof(t.p, Lt)
+        qtr64 = trans(q.tr, Lq)
+        ttr64 = trans(t.tr, Lt)
+        co8 = np.ascontiguousarray(co, dtype=np.uint8)
+        ss32 = self._ss_matrix(q, t, hit.ssm2)
+        bmac = np.zeros((Lq + 1, Lt + 1), dtype=np.uint8)
+        (pfwd, score, fwd, bwd, i2, j2) = nat.posterior_fb_mac(
+            qp32, tp32, qtr64, ttr64, co8, ss32, p_mm, scale, bmac,
+            float(np.float32(shift)), 1 if self.local else 0,
+            float(mact))
+        hit.Pforward = pfwd
+        hit.score = score
+        hit.i2, hit.j2 = int(i2), int(j2)
+        self._forward_entries = [(i, j, v) for (i, j, v) in fwd]
+        self._backward_entries = [(i, j, v) for (i, j, v) in bwd]
+        return bmac
+
     # ------------------------------------------------------------ forward --
     def realign(self, q: HMM, t: HMM, hit: Hit, co: np.ndarray,
                 shift: float, mact: float, corr: float):
         """hhposteriordecoder.cpp:86-122 (cell-off matrix passed in)."""
+        from .. import native
+
         Lq, Lt = q.L, t.L
         p_mm = np.zeros((Lq + 1, Lt + 1), dtype=np.float64)
         scale = np.ones(Lq + 2, dtype=np.float64)
@@ -175,9 +242,14 @@ class PosteriorDecoder:
                  hit.Pvalt, hit.logPval, hit.logPvalt, hit.Eval,
                  hit.logEval, hit.Probab)
 
-        self._forward(q, t, hit, p_mm, co, shift, scale)
-        self._backward(q, t, hit, p_mm, co, shift, scale)
-        bmac = self._mac(q, t, hit, p_mm, co, mact)
+        nat = native.load()
+        if nat is not None and hasattr(nat, "posterior_fb_mac"):
+            bmac = self._fb_mac_native(nat, q, t, hit, p_mm, co, shift,
+                                       mact, scale)
+        else:
+            self._forward(q, t, hit, p_mm, co, shift, scale)
+            self._backward(q, t, hit, p_mm, co, shift, scale)
+            bmac = self._mac(q, t, hit, p_mm, co, mact)
         self._backtrace_mac(q, t, hit, p_mm, co, bmac, corr)
 
         (hit.score, hit.score_ss, hit.score_aass, hit.Pval, hit.Pvalt,
@@ -305,16 +377,18 @@ class PosteriorDecoder:
             scale[i + 1] = 1.0 / (Pmax_i + 1.0)
 
         # total forward probability (hhforwardalgorithm.cpp:150-178)
+        # sequential (left-to-right) row sums like the reference's C++
+        # accumulation loop — numpy's pairwise .sum() rounds differently
         if local:
             Pforward = 1.0
             for i in range(1, Lq + 1):
-                Pforward += float(p_mm[i, 1:].sum())
+                Pforward += float(np.cumsum(p_mm[i, 1:])[-1])
                 Pforward *= scale[i + 1]
         else:
             Pforward = 0.0
             for i in range(1, Lq):
                 Pforward = (Pforward + p_mm[i, Lt]) * scale[i + 1]
-            Pforward += float(p_mm[Lq, 1:].sum())
+            Pforward += float(np.cumsum(p_mm[Lq, 1:])[-1])
             Pforward *= scale[Lq + 1]
         hit.Pforward = Pforward
 

@@ -80,3 +80,53 @@ def test_ca3m_extract_same_with_and_without_native(native):
         finally:
             native_pkg._cached = saved
         assert with_native == without
+
+
+def test_posterior_fb_mac_matches_python(native):
+    """The C++ Forward/Backward/MAC decoder must be bit-identical to the
+    pure-Python posterior path (both mirror hhposteriordecoder.cpp)."""
+    import numpy as np
+
+    import hhsuite_tpu.native as N
+    from hhsuite_tpu.constants import Parameters
+    from hhsuite_tpu.search.engine import HHDatabase, run_hhsearch
+
+    if not hasattr(native, "posterior_fb_mac"):
+        pytest.skip("posterior_fb_mac not built")
+
+    def run(disable):
+        if disable:
+            orig, N.load = N.load, lambda: None
+        try:
+            par = Parameters()
+            par.nocontxt = True
+            par.prefilter = False
+            par.num_rounds = 1
+            import shutil
+            import tempfile
+            tmp = tempfile.mkdtemp()
+            for src, dst in [("single_a3m", "single_a3m"),
+                             ("single_hhm", "single_hhm"),
+                             ("golden_single_cs219", "single_cs219")]:
+                shutil.copy(f"{FIX}/{src}.ffdata", f"{tmp}/{dst}.ffdata")
+                shutil.copy(f"{FIX}/{src}.ffindex", f"{tmp}/{dst}.ffindex")
+            db = HHDatabase(f"{tmp}/single")
+            with open(f"{FIX}/query.a3m") as f:
+                text = f.read()
+            return run_hhsearch(par, text, db, "query.a3m")[1]
+        finally:
+            if disable:
+                N.load = orig
+
+    hn = run(False)
+    hp = run(True)
+    assert len(hn.hits) == len(hp.hits)
+    for a, b in zip(hn.hits, hp.hits):
+        assert a.score == b.score
+        assert a.Pforward == b.Pforward
+        assert (a.i1, a.i2, a.j1, a.j2) == (b.i1, b.i2, b.j1, b.j2)
+        assert a.matched_cols == b.matched_cols
+        assert np.array_equal(a.P_MM, b.P_MM)
+        assert a.forward_matrix == b.forward_matrix
+        assert a.backward_matrix == b.backward_matrix
+        assert a.sum_of_probs == b.sum_of_probs
