@@ -260,6 +260,8 @@ def read_hhm(text: str, pb_out: Optional[np.ndarray] = None,
             v, idx = _strinta(t, idx)
             q.Neff_D[0] = np.float32(v) / HMMSCALE
             i = 0
+            f_rows: List[np.ndarray] = []
+            f_idx: List[int] = []
             while True:
                 line = getline()
                 if line is None or line.startswith("//") \
@@ -272,14 +274,13 @@ def read_hhm(text: str, pb_out: Optional[np.ndarray] = None,
                 if i > L or i > maxres - 2:
                     getline()
                     continue
-                # t = [res, i, 20 values..., l]; one vectorized fpow2
-                # per row (elementwise, so bit-identical to the scalar
-                # loop it replaces)
+                # t = [res, i, 20 values..., l]; emissions collected and
+                # run through ONE vectorized fpow2 after the loop
+                # (elementwise, so bit-identical to the scalar loop)
                 vals = t[2:22]
-                varr = np.array([99999 if v == "*" else int(v)
-                                 for v in vals], dtype=np.int64)
-                q.f[i, _S2A20] = fm.fpow2(
-                    np.float32(-varr) / HMMSCALE)
+                f_rows.append(np.array([99999 if v == "*" else int(v)
+                                        for v in vals], dtype=np.int64))
+                f_idx.append(i)
                 q.l[i] = int(t[22]) if len(t) > 22 else i
                 line = getline()
                 t = line.split()
@@ -295,6 +296,9 @@ def read_hhm(text: str, pb_out: Optional[np.ndarray] = None,
                 q.Neff_I[i] = np.float32(v) / HMMSCALE
                 v, idx = _strinta(t, idx)
                 q.Neff_D[i] = np.float32(v) / HMMSCALE
+            if f_rows:
+                fv = fm.fpow2(np.float32(-np.stack(f_rows)) / HMMSCALE)
+                q.f[np.asarray(f_idx)[:, None], _S2A20[None, :]] = fv
             break
 
     q.L = min(L, maxres - 2) if L else 0
