@@ -40,23 +40,36 @@ def ungapped_scores(qc, db, db_len, offset):
 
     B, Ld = db.shape
     Lq = qc.shape[1]
+    NS = qc.shape[0]
+    # per-lane table gathers are slow on TPU; a one-hot bf16 matmul on
+    # the MXU computes the same row lookup exactly (0/1 x small-int
+    # products, single nonzero per row -> no rounding)
+    qc_b = qc.astype(jnp.bfloat16)
+    states = jnp.arange(NS, dtype=db.dtype)
+
+    def lookup(x):
+        oh = (x[:, None] == states[None, :]).astype(jnp.bfloat16)
+        return jnp.dot(oh, qc_b,
+                       preferred_element_type=jnp.float32).astype(jnp.int32)
 
     def step(carry, j):
         S, best = carry
         x = db[:, j]                                  # (B,)
-        scores = qc[x]                                # (B, Lq)
+        scores = lookup(x)                            # (B, Lq)
         Sshift = jnp.pad(S[:, :-1], ((0, 0), (1, 0)))
         S = jnp.maximum(
             jnp.minimum(Sshift + scores, 255) - offset, 0)
         valid = (j < db_len)[:, None]
         S = jnp.where(valid, S, 0)
-        best = jnp.maximum(best, S.max(axis=1))
+        # running elementwise max; the axis-1 reduce happens once at
+        # the end instead of every step
+        best = jnp.maximum(best, S)
         return (S, best), None
 
     S0 = jnp.zeros((B, Lq), jnp.int32)
-    best0 = jnp.zeros(B, jnp.int32)
+    best0 = jnp.zeros((B, Lq), jnp.int32)
     (S, best), _ = lax.scan(step, (S0, best0), jnp.arange(Ld))
-    return best
+    return best.max(axis=1)
 
 
 @functools.partial(__import__("jax").jit, static_argnames=())
@@ -70,11 +83,20 @@ def gapped_scores(qc, db, db_len, gap_init, gap_extend, offset):
 
     B, Ld = db.shape
     Lq = qc.shape[1]
+    NS = qc.shape[0]
+    qc_b = qc.astype(jnp.bfloat16)
+    states = jnp.arange(NS, dtype=db.dtype)
+
+    def lookup(x):
+        # exact one-hot MXU lookup (see ungapped_scores)
+        oh = (x[:, None] == states[None, :]).astype(jnp.bfloat16)
+        return jnp.dot(oh, qc_b,
+                       preferred_element_type=jnp.float32).astype(jnp.int32)
 
     def step(carry, j):
         H, E, best = carry
         x = db[:, j]
-        scores = qc[x]                                # (B, Lq)
+        scores = lookup(x)                            # (B, Lq)
         Hdiag = jnp.pad(H[:, :-1], ((0, 0), (1, 0)))
         vH = jnp.maximum(jnp.minimum(Hdiag + scores, 255) - offset, 0)
         H0 = jnp.maximum(vH, E)
@@ -94,11 +116,11 @@ def gapped_scores(qc, db, db_len, gap_init, gap_extend, offset):
             jnp.maximum(E - gap_extend, 0),
             jnp.maximum(Hnew - gap_init, 0))
         Enew = jnp.where(valid, Enew, 0)
-        best = jnp.maximum(best, Hnew.max(axis=1))
+        best = jnp.maximum(best, Hnew)
         return (Hnew, Enew, best), None
 
     H0 = jnp.zeros((B, Lq), jnp.int32)
     E0 = jnp.zeros((B, Lq), jnp.int32)
-    best0 = jnp.zeros(B, jnp.int32)
+    best0 = jnp.zeros((B, Lq), jnp.int32)
     (H, E, best), _ = lax.scan(step, (H0, E0, best0), jnp.arange(Ld))
-    return best
+    return best.max(axis=1)

@@ -94,8 +94,17 @@ def prefilter_db(par: Parameters, q_tmp: HMM, lib: ContextLibrary,
     log_qlen = float(fm.flog2(np.float32(LQ)))
     factor = float(num_dbs) * LQ
 
-    # ---- stage 1: ungapped ----
-    raw1 = _bucketed(ops.ungapped_scores, qc, seqs,
+    # ---- stage 1: ungapped (Pallas kernel on TPU: state stays in
+    # VMEM, MXU one-hot profile lookup; lax.scan elsewhere) ----
+    stage1 = ops.ungapped_scores
+    try:
+        import jax
+        if jax.devices()[0].platform != "cpu":
+            from ..ops.prefilter_pallas import ungapped_scores_pallas
+            stage1 = ungapped_scores_pallas
+    except Exception:
+        pass
+    raw1 = _bucketed(stage1, qc, seqs,
                      np.int32(par.prefilter_score_offset))
     lens = np.array([len(s) for s in seqs])
     corr = (par.prefilter_bit_factor
