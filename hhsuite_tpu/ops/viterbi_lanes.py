@@ -39,10 +39,10 @@ def _round_up(x, m):
 
 @functools.partial(
     __import__("jax").jit,
-    static_argnames=("unroll", "interpret"))
+    static_argnames=("unroll", "lane_groups", "interpret"))
 def viterbi_score_lanes(qp, qtr, tp, ttr, t_L, shift, ss_score=None,
                         ss_lut=None, ss_qidx=None, ss_tidx=None,
-                        unroll=4, interpret=False):
+                        unroll=4, lane_groups=8, interpret=False):
     """Best local Viterbi score per template (egq=egt=0, local mode).
 
     Same score semantics as ``viterbi_batch_rows(..., local=True)``;
@@ -73,7 +73,10 @@ def viterbi_score_lanes(qp, qtr, tp, ttr, t_L, shift, ss_score=None,
     f32 = jnp.float32
     NEG = f32(-FLT_MAX)
 
-    G, BK = 8, 128
+    # lane_groups > 8 packs several (8,128) vregs per state array: more
+    # independent work per ALU op to hide the row-to-row dependency
+    # chain latency (costs proportionally more VMEM for the columns)
+    G, BK = lane_groups, 128
     TILE = G * BK
     Bp = _round_up(B, TILE)
     nB = Bp // TILE

@@ -380,8 +380,12 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                     tidx = np.pad(tidx, ((0, tp.shape[0] - tidx.shape[0]),
                                          (0, 0)))
                 kw = dict(ss_lut=lut, ss_qidx=qidx, ss_tidx=tidx)
+            # wider lane packing hides the row-dependency ALU latency;
+            # VMEM (7 * Lq8 * G * 512B) caps G by query length
+            G = 16 if q.L <= 288 else 8
             sc = viterbi_score_lanes(qp_f, qtr_f, tp, ttr, t_L,
                                      np.float32(par.shift),
+                                     lane_groups=G,
                                      interpret=interp, **kw)
             scores[s: s + len(idxs)] = np.asarray(sc)[: len(idxs)]
         return scores
