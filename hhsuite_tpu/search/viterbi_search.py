@@ -257,6 +257,9 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
     else:
         S73 = S37 = S33 = None
 
+    if _on_tpu():
+        # bigger backtrace-kernel batches amortize per-dispatch latency
+        batch_size = max(batch_size, 128)
     smin = par.smin
     hits: List[Hit] = []
     # per-template accumulated exclusion paths
