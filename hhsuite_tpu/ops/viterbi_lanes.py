@@ -83,28 +83,39 @@ def viterbi_score_lanes(qp, qtr, tp, ttr, t_L, shift, ss_score=None,
     U = unroll
     Lq8 = _round_up(Lq, max(8, U))
 
-    # ---- Si = log2(profile dot) + shift (+ss), (nB, Lt, Lq8, 8, 128)
-    qp1 = qp[1:Lq + 1].astype(f32)                       # (Lq, 20)
+    # ---- Si = log2(profile dot) + shift (+ss), (nB, Lq8, Lt, 8, 128).
+    # The einsum is arranged so its natural dot_general output order
+    # (batch n, lhs-free i, rhs-free o/g/l) IS the layout the kernel
+    # consumes: XLA then emits one dot with the log2/shift/pad-mask
+    # epilogue fused, instead of dot + transpose + elementwise (3
+    # passes over the O(B*Lq*Lt) tensor, ~60% of kernel runtime).
+    qp1 = jnp.pad(qp[1:Lq + 1].astype(f32),
+                  ((0, Lq8 - Lq), (0, 0)))               # (Lq8, 20)
     tp1 = tp[:, 1:Lt + 1].astype(f32)                    # (B, Lt, 20)
     tp1 = jnp.pad(tp1, ((0, Bp - B), (0, 0), (0, 0)))
-    tp_r = tp1.reshape(nB, G, BK, Lt, 20)
-    dot = jnp.einsum("ia,ngloa->noigl", qp1, tp_r,
-                     preferred_element_type=f32)         # (nB,Lt,Lq,8,128)
+    tpT = jnp.transpose(tp1.reshape(nB, G, BK, Lt, 20),
+                        (0, 3, 4, 1, 2))                 # (nB,Lt,20,G,BK)
+    qp_b = jnp.broadcast_to(qp1, (nB, Lq8, 20))
+    dot = jnp.einsum("nia,noagl->niogl", qp_b, tpT,
+                     preferred_element_type=f32)         # (nB,Lq8,Lt,8,128)
     Si = _log2f4(dot) + f32(shift)
     if ss_score is not None:
-        ss = jnp.pad(ss_score[:, 1:, 1:], ((0, Bp - B), (0, 0), (0, 0)))
-        ss = ss.reshape(nB, G, BK, Lq, Lt)
-        Si = Si + jnp.transpose(ss, (0, 4, 3, 1, 2))
+        ss = jnp.pad(ss_score[:, 1:, 1:], ((0, Bp - B), (0, Lq8 - Lq),
+                                           (0, 0)))
+        ss = ss.reshape(nB, G, BK, Lq8, Lt)
+        Si = Si + jnp.transpose(ss, (0, 3, 4, 1, 2))
     elif ss_lut is not None:
         ti = jnp.pad(ss_tidx.astype(jnp.int32), ((0, Bp - B), (0, 0)))
         ti = jnp.transpose(ti.reshape(nB, G, BK, Lt),
-                           (0, 3, 1, 2))[:, :, None]    # (nB,Lt,1,8,128)
-        qi = ss_qidx.astype(jnp.int32)[None, None, :, None, None]
+                           (0, 3, 1, 2))[:, None]       # (nB,1,Lt,8,128)
+        qi = ss_qidx.astype(jnp.int32)[None, :, None, None, None]
+        qi = jnp.pad(qi, ((0, 0), (0, Lq8 - Lq), (0, 0), (0, 0), (0, 0)))
         Si = Si + jnp.take(ss_lut.astype(f32), qi + ti, axis=0)
     # padded query rows get -FLT_MAX so they can never win the best
-    # tracker (local mode restarts at 0, so the pad must sit in Si)
-    Si = jnp.pad(Si, ((0, 0), (0, 0), (0, Lq8 - Lq), (0, 0), (0, 0)),
-                 constant_values=-FLT_MAX)
+    # tracker (local mode restarts at 0, so the pad must sit in Si);
+    # the iota select fuses into the dot epilogue
+    row = jax.lax.broadcasted_iota(jnp.int32, Si.shape, 1)
+    Si = jnp.where(row < Lq, Si, NEG)
 
     # ---- template transitions per column j (cell column jj = j+1):
     # [M2M,D2M,I2M,M2D,D2D at jj-1; M2I,I2I at jj]
@@ -177,7 +188,7 @@ def viterbi_score_lanes(qp, qtr, tp, ttr, t_L, shift, ss_score=None,
                 best5 = jnp.maximum(best5, (im_po + qi2m1) + tm2m1)
                 best5 = jnp.maximum(best5, (dg_po + qd2m1) + tm2m1)
                 best5 = jnp.maximum(best5, (mi_po + qm2m1) + ti2m1)
-                mm_new = best5 + si_ref[0, 0, i]
+                mm_new = best5 + si_ref[0, i, 0]
 
                 # DG/MI[r][jj]: predecessors at (r-1, jj), NEW column
                 dg_new = jnp.maximum(mm_pn + qm2d1, dg_pn + qd2d1)
@@ -218,7 +229,7 @@ def viterbi_score_lanes(qp, qtr, tp, ttr, t_L, shift, ss_score=None,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, Lq8, G, BK), lambda b, j: (b, j, 0, 0, 0)),
+            pl.BlockSpec((1, Lq8, 1, G, BK), lambda b, j: (b, 0, j, 0, 0)),
             pl.BlockSpec((1, 1, 7, G, BK), lambda b, j: (b, j, 0, 0, 0)),
             pl.BlockSpec((7, Lqp), lambda b, j: (0, 0),
                          memory_space=pltpu.SMEM),
