@@ -85,7 +85,12 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
     NEG = f32(-FLT_MAX)
 
     # ---- per-row match scores (MXU) ----
-    dot = jnp.einsum("ia,bja->bij", qp[1:Lq + 1], tp[:, 1:Lt + 1],
+    # qp broadcast over b makes b a true dot_general batch dim, so the
+    # natural output order (b, i, j) is already the kernel layout and
+    # XLA fuses the log2/shift epilogue into the dot instead of
+    # emitting dot + transpose + elementwise passes over (B, Lq, Lt)
+    qp_b = jnp.broadcast_to(qp[1:Lq + 1], (B, Lq, 20))
+    dot = jnp.einsum("bia,bja->bij", qp_b, tp[:, 1:Lt + 1],
                      preferred_element_type=jnp.float32)   # (B, Lq, Lt)
     Si = _log2f4(dot) + f32(shift)
     if ss_score is not None:
