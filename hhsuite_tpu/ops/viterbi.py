@@ -296,6 +296,98 @@ def viterbi_batch(qp, qtr, tp, ttr, cell_off, t_L,
     return best, best_i, best_j, bt
 
 
+# ---------------------------------------------------------------- device ----
+
+@functools.partial(
+    __import__("jax").jit, static_argnames=("kmax",))
+def backtrace_walk(bt, i2, j2, kmax):
+    """Batched device-side decode of the byte backtrace matrices.
+
+    Same transition rules as the scalar host walk below
+    (src/hhviterbi.cpp:83-160), vectorised over lanes as a
+    ``lax.scan`` of ``kmax`` steps with one batched gather per step,
+    so only the O(B * (Lq+Lt)) step lists cross the device->host
+    boundary instead of the O(B * Lq * Lt) byte matrices.
+
+    Returns (states (B,kmax) u8, ii (B,kmax) i16, jj (B,kmax) i16,
+    n (B,) i32 recorded steps, matched_cols (B,) i32); entries at
+    k >= n[b] are garbage and must be sliced off by the caller.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    bt = jnp.asarray(bt)
+    B, Li, Wj = bt.shape
+    btf = bt.reshape(B, Li * Wj).astype(jnp.int32)
+    i32 = jnp.int32
+
+    def step(carry, _):
+        i, j, state = carry
+        valid = state != STOP
+        b = jnp.take_along_axis(btf, (i * Wj + j)[:, None], axis=1)[:, 0]
+        is_mm = state == MM
+        border_ij = (i <= 1) | (j <= 1)
+        mm_next = jnp.where(border_ij, STOP, b & 7)
+        gd_next = jnp.where(j <= 1, STOP,
+                            jnp.where((b & 8) > 0, MM, GD))
+        im_next = jnp.where(j <= 1, STOP,
+                            jnp.where((b & 16) > 0, MM, IM))
+        dg_next = jnp.where(i <= 1, STOP,
+                            jnp.where((b & 32) > 0, MM, DG))
+        mi_next = jnp.where(i <= 1, STOP,
+                            jnp.where((b & 64) > 0, MM, MI))
+        nxt = jnp.where(is_mm, mm_next,
+              jnp.where(state == GD, gd_next,
+              jnp.where(state == IM, im_next,
+              jnp.where(state == DG, dg_next,
+              jnp.where(state == MI, mi_next, STOP))))).astype(i32)
+        # moves happen only on the non-STOP branches
+        di = (jnp.where(is_mm & ~border_ij, 1, 0)
+              + jnp.where(((state == DG) | (state == MI)) & (i > 1), 1, 0))
+        dj = (jnp.where(is_mm & ~border_ij, 1, 0)
+              + jnp.where(((state == GD) | (state == IM)) & (j > 1), 1, 0))
+        rec = (state.astype(jnp.uint8), i.astype(jnp.int16),
+               j.astype(jnp.int16), valid, is_mm & valid)
+        i_n = jnp.where(valid, i - di, i)
+        j_n = jnp.where(valid, j - dj, j)
+        s_n = jnp.where(valid, nxt, STOP)
+        return (i_n, j_n, s_n), rec
+
+    init = (i2.astype(i32), j2.astype(i32),
+            jnp.full((B,), MM, i32))
+    _, (st, ii, jj, valid, mm_rec) = jax.lax.scan(
+        step, init, None, length=kmax)
+    n = valid.astype(i32).sum(axis=0)
+    matched = mm_rec.astype(i32).sum(axis=0)
+    return (st.T, ii.T, jj.T, n, matched)
+
+
+def backtrace_walk_host(bt, i2, j2, kmax):
+    """Run :func:`backtrace_walk` and unpack lane ``b`` results in the
+    exact format of the scalar :func:`backtrace` (leading placeholder
+    0, end->start order, last state overwritten to MM)."""
+    st, ii, jj, n, matched = backtrace_walk(bt, i2, j2, kmax)
+    st = np.asarray(st)
+    ii = np.asarray(ii)
+    jj = np.asarray(jj)
+    n = np.asarray(n)
+    matched = np.asarray(matched)
+
+    def unpack(b):
+        nb = int(n[b])
+        i_steps = np.zeros(nb + 1, dtype=np.int32)
+        j_steps = np.zeros(nb + 1, dtype=np.int32)
+        states = np.zeros(nb + 1, dtype=np.int8)
+        i_steps[1:] = ii[b, :nb]
+        j_steps[1:] = jj[b, :nb]
+        states[1:] = st[b, :nb]
+        if nb:
+            states[nb] = MM   # first state set to MM (reference quirk)
+        return i_steps, j_steps, states, int(matched[b])
+
+    return unpack
+
+
 # ------------------------------------------------------------------ host ----
 
 def backtrace(bt: np.ndarray, start_i: int, start_j: int):

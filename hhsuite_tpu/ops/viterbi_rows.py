@@ -79,7 +79,12 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
     B = tp.shape[0]
     Wj = Lt + 1
     Wp = _round_up(Wj, 128)
-    TB = min(tb, B)
+    # clamp the template block so the kernel's scoped VMEM stays under
+    # the ~16 MiB budget for ANY Lt: measured 18.91 MiB at TB=64,
+    # Wp=512 (need_bt, no cell-off), i.e. ~577 B per (TB, Wp) element;
+    # callers' tb is an upper bound, not a guarantee
+    tb_vmem = max(8, int(14e6 / (580 * Wp)) // 8 * 8)
+    TB = min(tb, B, tb_vmem)
     Bp = _round_up(B, TB)
     f32 = jnp.float32
     NEG = f32(-FLT_MAX)

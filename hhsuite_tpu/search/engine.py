@@ -64,11 +64,47 @@ class HHDatabase:
         (Prefilter::init_no_prefiltering)."""
         return [(e.name, e.length - 1) for e in self.cs219.entries]
 
+    # parsed-HMM cache: parsing a template HHM/a3m costs ~10-50 ms of
+    # host time and the same entry is re-read by the realign pass and
+    # by every hhblits round; entries are cached PRE-pseudocounts and
+    # deep-copied on return because prepare_template_hmm mutates in
+    # place (getTemplateHMM re-reads from disk each time instead,
+    # hhdatabase.cpp:300-455)
+    _HMM_CACHE_MAX = 1024
+
+    def _hmm_cache_get(self, key):
+        cache = getattr(self, "_hmm_cache", None)
+        if cache is None:
+            cache = self._hmm_cache = {}
+        return cache.get(key)
+
+    def _hmm_cache_put(self, key, value):
+        if len(self._hmm_cache) < self._HMM_CACHE_MAX:
+            self._hmm_cache[key] = value
+
     def get_template_hmm(self, name: str, par: Parameters,
                          mats: SubstitutionMatrix,
                          use_global_weights: int = 1) -> Tuple[HMM, int]:
         """getTemplateHMM (hhdatabase.cpp:300-455): prefer hhm, then
         compressed a3m, then plain a3m."""
+        import copy
+
+        key = (name, use_global_weights, par.nseqdis, par.maxres,
+               par.max_seqid_db, par.coverage_db, par.qid_db, par.qsc_db,
+               par.Ndiff_db, par.max_seqid, par.coverage, par.qid,
+               par.qsc, par.Ndiff, par.M_template, par.Mgaps, par.mark,
+               par.cons, par.showcons, par.maxseq)
+        hit = self._hmm_cache_get(key)
+        if hit is not None:
+            return copy.deepcopy(hit[0]), hit[1]
+        t, fmt = self._load_template_hmm(name, par, mats,
+                                         use_global_weights)
+        self._hmm_cache_put(key, (t, fmt))
+        return copy.deepcopy(t), fmt
+
+    def _load_template_hmm(self, name: str, par: Parameters,
+                           mats: SubstitutionMatrix,
+                           use_global_weights: int = 1) -> Tuple[HMM, int]:
         if self.hhm is not None and name in self.hhm:
             text = self.hhm.read_text(name)
             return template_hmm_from_text(text, name, par, mats,

@@ -311,15 +311,26 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                 tp, ttr, cell_off if any_co else None, t_L,
                 float(par.shift), float(par.egq), float(par.egt),
                 ss_batch, bool(par.loc))
+            unpack = None
+            if _on_tpu():
+                # decode the backtrace on device: only the O(B*(Lq+Lt))
+                # step lists cross the device->host link, not the
+                # O(B*Lq*Lt) byte matrices
+                unpack = V.backtrace_walk_host(bt, i2, j2,
+                                               kmax=Lq + Lt_max + 1)
             score = np.asarray(score)
             i2 = np.asarray(i2)
             j2 = np.asarray(j2)
-            bt = np.asarray(bt)
+            if unpack is None:
+                bt = np.asarray(bt)
 
             for b, tid in enumerate(idxs):
                 t = batch[b]
-                i_steps, j_steps, states, matched_cols = V.backtrace(
-                    bt[b], int(i2[b]), int(j2[b]))
+                if unpack is not None:
+                    i_steps, j_steps, states, matched_cols = unpack(b)
+                else:
+                    i_steps, j_steps, states, matched_cols = V.backtrace(
+                        bt[b], int(i2[b]), int(j2[b]))
                 sc, sc_ss, S, S_ss = score_for_backtrace(
                     q, t, float(score[b]), i_steps, j_steps, states,
                     ss_hmm_mode, par.ssw, par.ssm, par.corr, S73, S37, S33)
