@@ -118,6 +118,79 @@ def _strinta(tokens, idx):
     return int(t), idx + 1
 
 
+_SEQ_TABS = None
+
+
+def _seq_tabs():
+    """bytes.translate (map, delete) pairs per SEQ-row category: the
+    same keep/transform rules as the per-char genexprs below, but run
+    in C (the SEQ block is ~60% of read_hhm time for deep MSAs)."""
+    global _SEQ_TABS
+    if _SEQ_TABS is None:
+        from ..core.alignment import (_SS2I, _SA2I, ss2ss, AA2I_TABLE)
+
+        ident = bytes(range(256))
+
+        def build(keep, xform=None):
+            delete = bytes(c for c in range(256) if not keep(c))
+            if xform is None:
+                return ident, delete
+            table = bytes((ord(xform(chr(c))) if keep(c) else c)
+                          for c in range(256))
+            return table, delete
+
+        _SEQ_TABS = {
+            "ss_dssp": build(lambda c: 0 <= _SS2I[c] <= 7 and c != ord("."),
+                             ss2ss),
+            "sa_dssp": build(lambda c: _SA2I[c] >= 0),
+            "ss_pred": build(lambda c: 0 <= _SS2I[c] <= 3 and c != ord("."),
+                             ss2ss),
+            "ss_conf": build(lambda c: c == ord("-")
+                             or chr(c).isdigit()),
+            "resid": build(lambda c: AA2I_TABLE[c] >= 0 and c != ord(".")),
+        }
+    return _SEQ_TABS
+
+
+def _filter_seq_line(line: str, kind: str) -> str:
+    table, delete = _seq_tabs()[kind]
+    return (line.encode("latin-1").translate(table, delete)
+            .decode("latin-1"))
+
+
+def _parse_body_native(q: HMM, lines, li: int, L: int,
+                       maxres: int) -> bool:
+    """Parse the per-column records with the C++ hot loop
+    (native/hhsuite_native.cpp:parse_hhm_body); the raw fixed-point
+    ints are converted with the same vectorized numpy expressions as
+    the pure-Python loop, so the resulting HMM is bit-identical.
+    Returns False when the native module is unavailable."""
+    from ..native import load as load_native
+
+    nat = load_native()
+    if nat is None or not hasattr(nat, "parse_hhm_body"):
+        return False
+    body = "\n".join(lines[li:])
+    nrows, tr_b, f_b, l_b = nat.parse_hhm_body(
+        body.encode("latin-1"), L, maxres)
+    q.alloc(L)
+    trneff = np.frombuffer(tr_b, dtype=np.int32).reshape(L + 1, 10)
+    r = nrows + 1                       # rows 0..nrows carry parsed data
+    q.tr[:r, :NTRANS] = (-trneff[:r, :NTRANS].astype(np.float32)
+                         / HMMSCALE)
+    neff = trneff[:r, NTRANS:].astype(np.float32) / HMMSCALE
+    q.Neff_M[:r] = neff[:, 0]
+    q.Neff_M[1:r][q.Neff_M[1:r] == 0] = 1
+    q.Neff_I[:r] = neff[:, 1]
+    q.Neff_D[:r] = neff[:, 2]
+    if nrows:
+        fv = np.frombuffer(f_b, dtype=np.int32).reshape(nrows, 20)
+        vals = fm.fpow2(np.float32(-fv.astype(np.float32)) / HMMSCALE)
+        q.f[np.arange(1, nrows + 1)[:, None], _S2A20[None, :]] = vals
+        q.l[1: nrows + 1] = np.frombuffer(l_b, dtype=np.int32)
+    return True
+
+
 def read_hhm(text: str, pb_out: Optional[np.ndarray] = None,
              nseqdis: int = 10238, maxres: int = 20001) -> HMM:
     """Parse an HHM file (hhhmm.cpp:202-690)."""
@@ -212,24 +285,15 @@ def read_hhm(text: str, pb_out: Optional[np.ndarray] = None,
                 else:
                     k = len(names) - 1
                     if k == q.nss_dssp:
-                        cur.extend(ss2ss(c) for c in line
-                                   if 0 <= _SS2I[ord(c) & 0xFF] <= 7
-                                   and c != ".")
+                        cur.append(_filter_seq_line(line, "ss_dssp"))
                     elif k == q.nsa_dssp:
-                        cur.extend(c for c in line
-                                   if _SA2I[ord(c) & 0xFF] >= 0)
+                        cur.append(_filter_seq_line(line, "sa_dssp"))
                     elif k == q.nss_pred:
-                        cur.extend(ss2ss(c) for c in line
-                                   if 0 <= _SS2I[ord(c) & 0xFF] <= 3
-                                   and c != ".")
+                        cur.append(_filter_seq_line(line, "ss_pred"))
                     elif k == q.nss_conf:
-                        cur.extend(c for c in line
-                                   if c == "-" or c.isdigit())
+                        cur.append(_filter_seq_line(line, "ss_conf"))
                     else:
-                        from ..core.alignment import AA2I_TABLE
-                        cur.extend(c for c in line
-                                   if AA2I_TABLE[ord(c) & 0xFF] >= 0
-                                   and c != ".")
+                        cur.append(_filter_seq_line(line, "resid"))
             if names:
                 seqs.append("-" + "".join(cur))
             q.sname = names
@@ -239,13 +303,16 @@ def read_hhm(text: str, pb_out: Optional[np.ndarray] = None,
         elif line.startswith("NULL"):
             t = line[4:].split()
             pb_local = np.zeros(NAA, dtype=np.float32)
-            for a in range(20):
-                v = 99999 if t[a] == "*" else int(t[a])
-                pb_local[S2A[a]] = fm.fpow2(np.float32(-v / HMMSCALE))
+            vals = np.array([99999 if t[a] == "*" else int(t[a])
+                             for a in range(20)], dtype=np.float64)
+            pb_local[_S2A20] = fm.fpow2(
+                (-vals / HMMSCALE).astype(np.float32))
             if pb_out is not None:
                 pb_out[:] = pb_local
         elif line.startswith("HMM"):
             getline()  # transition header line
+            if _parse_body_native(q, lines, li, L, maxres):
+                break
             line = getline()
             t = line.split()
             q.alloc(L)

@@ -506,6 +506,103 @@ static PyObject *posterior_fb_mac(PyObject *, PyObject *args) {
   return ret;
 }
 
+/* ---------------------------------------------------------------------
+ * parse_hhm_body(body: bytes, L: int, maxres: int)
+ *   -> (nrows, trneff: bytes i32 (L+1,10), fvals: bytes i32 (nrows,20),
+ *       lvals: bytes i32 (nrows,))
+ *
+ * The per-column hot loop of HMM::Read (src/hhhmm.cpp:468-607): `body`
+ * starts at the line AFTER the "HMM ..." header and the transition
+ * name line, i.e. with the column-0 transition record, and runs to
+ * '//'/'#'/EOF.  Values are the raw fixed-point ints ('*' = 99999,
+ * util.cpp:175-196); the float conversions stay in numpy so they are
+ * bit-identical to the pure-Python reader.  Rows beyond min(L,
+ * maxres-2) are consumed but not stored (hhhmm.cpp:475-481).
+ */
+static const char *skip_ws(const char *p, const char *end) {
+  while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) p++;
+  return p;
+}
+
+/* next whitespace-separated token as fixed-point int; '*' -> 99999 */
+static const char *next_int(const char *p, const char *end, int32_t *out) {
+  p = skip_ws(p, end);
+  if (p >= end || *p == '\n') { *out = 99999; return p; }
+  if (*p == '*') { *out = 99999; p++; return p; }
+  bool neg = false;
+  if (*p == '-') { neg = true; p++; }
+  long v = 0;
+  while (p < end && *p >= '0' && *p <= '9') { v = v * 10 + (*p - '0'); p++; }
+  /* skip any residual non-space garbage in the token */
+  while (p < end && *p != ' ' && *p != '\t' && *p != '\n' && *p != '\r') p++;
+  *out = (int32_t)(neg ? -v : v);
+  return p;
+}
+
+static const char *next_line(const char *p, const char *end) {
+  while (p < end && *p != '\n') p++;
+  return p < end ? p + 1 : end;
+}
+
+static PyObject *parse_hhm_body(PyObject *, PyObject *args) {
+  const char *buf;
+  Py_ssize_t n;
+  long L, maxres;
+  if (!PyArg_ParseTuple(args, "y#ll", &buf, &n, &L, &maxres))
+    return nullptr;
+  const char *p = buf, *end = buf + n;
+  long keep = std::min(L, maxres - 2);
+  if (keep < 0) keep = 0;
+
+  std::vector<int32_t> trneff((size_t)(L + 1) * 10, 99999);
+  std::vector<int32_t> fvals;
+  std::vector<int32_t> lvals;
+  fvals.reserve((size_t)keep * 20);
+  lvals.reserve((size_t)keep);
+
+  /* column-0 transition record */
+  p = skip_ws(p, end);
+  for (int a = 0; a < 10; a++) p = next_int(p, end, &trneff[a]);
+  p = next_line(p, end);
+
+  long i = 0;
+  while (p < end) {
+    if (*p == '/' || *p == '#') break;
+    const char *q = skip_ws(p, end);
+    if (q >= end || *q == '\n') { p = next_line(p, end); continue; }
+    /* emission line: <res> <i> <20 vals> <l> */
+    i++;
+    if (i > keep) { p = next_line(p, end); p = next_line(p, end); continue; }
+    /* skip residue token */
+    while (q < end && *q != ' ' && *q != '\t' && *q != '\n') q++;
+    int32_t tmp;
+    q = next_int(q, end, &tmp);            /* column index (ignored) */
+    for (int a = 0; a < 20; a++) {
+      int32_t v; q = next_int(q, end, &v); fvals.push_back(v);
+    }
+    q = skip_ws(q, end);
+    if (q < end && *q != '\n') { int32_t lv; q = next_int(q, end, &lv);
+                                 lvals.push_back(lv); }
+    else lvals.push_back((int32_t)i);
+    p = next_line(q, end);
+    /* transition line: 7 transitions + 3 Neff */
+    const char *t = p;
+    for (int a = 0; a < 10; a++)
+      t = next_int(t, end, &trneff[(size_t)i * 10 + a]);
+    p = next_line(t, end);
+  }
+
+  long nrows = std::min(i, keep);
+  PyObject *tr_b = PyBytes_FromStringAndSize(
+      (const char *)trneff.data(), (Py_ssize_t)(trneff.size() * 4));
+  PyObject *f_b = PyBytes_FromStringAndSize(
+      (const char *)fvals.data(), (Py_ssize_t)(fvals.size() * 4));
+  PyObject *l_b = PyBytes_FromStringAndSize(
+      (const char *)lvals.data(), (Py_ssize_t)(lvals.size() * 4));
+  PyObject *ret = Py_BuildValue("lNNN", nrows, tr_b, f_b, l_b);
+  return ret;
+}
+
 static PyMethodDef Methods[] = {
     {"parse_index", parse_index, METH_VARARGS,
      "parse .ffindex text -> list[(name, offset, length)]"},
@@ -515,6 +612,8 @@ static PyMethodDef Methods[] = {
      "expand one ca3m member record -> a3m row bytes"},
     {"posterior_fb_mac", posterior_fb_mac, METH_VARARGS,
      "Forward/Backward/MAC posterior decoding hot loops"},
+    {"parse_hhm_body", parse_hhm_body, METH_VARARGS,
+     "parse HHM per-column records -> raw fixed-point int arrays"},
     {nullptr, nullptr, 0, nullptr}};
 
 static struct PyModuleDef moduledef = {

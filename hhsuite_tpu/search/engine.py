@@ -89,11 +89,17 @@ class HHDatabase:
         compressed a3m, then plain a3m."""
         import copy
 
-        key = (name, use_global_weights, par.nseqdis, par.maxres,
-               par.max_seqid_db, par.coverage_db, par.qid_db, par.qsc_db,
-               par.Ndiff_db, par.max_seqid, par.coverage, par.qid,
-               par.qsc, par.Ndiff, par.M_template, par.Mgaps, par.mark,
-               par.cons, par.showcons, par.maxseq)
+        if self.hhm is not None and name in self.hhm:
+            # the hhm branch ignores the MSA->HMM knobs (read_hhm takes
+            # only nseqdis/maxres), so don't let them split the cache —
+            # the realign pass calls with use_global_weights=par.wg
+            key = (name, "hhm", par.nseqdis, par.maxres)
+        else:
+            key = (name, use_global_weights, par.nseqdis, par.maxres,
+                   par.max_seqid_db, par.coverage_db, par.qid_db,
+                   par.qsc_db, par.Ndiff_db, par.max_seqid, par.coverage,
+                   par.qid, par.qsc, par.Ndiff, par.M_template, par.Mgaps,
+                   par.mark, par.cons, par.showcons, par.maxseq)
         hit = self._hmm_cache_get(key)
         if hit is not None:
             return copy.deepcopy(hit[0]), hit[1]
