@@ -51,8 +51,9 @@ def main():
         def kern(qp, qtr, tp, ttr, co, tL, shift, **kw):
             s = viterbi_score_lanes(qp, qtr, tp, ttr, tL, shift)
             return s, None, None, jnp.zeros((1, 1, 1), jnp.uint8)
-        # one full lanes tile (8x128 templates), 511x511 profiles
-        Lq, Lt, B = 511, 511, 1024
+        # one full lanes tile (16x128 templates, the search's
+        # sub-batch size), 511x511 profiles
+        Lq, Lt, B = 511, 511, 2048
     else:
         from hhsuite_tpu.ops.viterbi import viterbi_batch
 

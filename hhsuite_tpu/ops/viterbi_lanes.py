@@ -9,18 +9,36 @@ each (8, 128) vreg holds 1024 independent templates, the grid walks
 template columns j, and a `fori_loop` walks query rows i inside the
 kernel.  Every DP recurrence is then a plain elementwise max/add
 between loop-carried vregs and 5 per-column state arrays in VMEM —
-no rolls, no scan, ~2x fewer vector ops per cell.
+no rolls, no scan.
+
+Three TPU-specific throughput devices on top of that:
+
+* **Natural-layout Si**: the match-score tensor is produced by a
+  dot_general whose natural (batch, lhs-free, rhs-free) output order
+  IS the kernel's streaming layout, so XLA emits one dot with the
+  log2/shift/pad epilogue fused instead of dot+transpose+elementwise
+  (3 passes over the O(B·Lq·Lt) tensor).
+* **bf16 Si streaming** (``si_dtype``): the sweep's HBM floor is the
+  Si round-trip; storing it in bfloat16 halves that traffic.  The MXU
+  already computes the profile dot from bf16-truncated inputs, so the
+  extra rounding only perturbs scores by ~0.1%, and the funnel uses
+  these scores for RANKING only — every reported hit is re-scored
+  exactly by the backtrace pass (mirroring the reference, whose sweep
+  itself uses fast SIMD log2/pow2 approximations, src/util-inl.h).
+  Requires lane_groups % 16 == 0 (dense (16,128) bf16 tiles).
+* **Row panels** (``panel_rows``): the 5 DP state columns are VMEM-
+  resident, which caps lane_groups by query length.  Queries longer
+  than panel_rows are processed in row panels; each panel's last-row
+  states per column are written to a small (nB, Lt, 5, G, BK) HBM
+  boundary array and seed the next panel's carries.  Panelling is
+  bit-exact (same float ops in the same order), and keeps VMEM
+  bounded so lane_groups=16 (2 vregs of ILP per ALU op) works for any
+  query length.
 
 Score-only by design: the search funnel runs this kernel over ALL
 prefiltered templates and re-runs the few hundred survivors that need
 alignments through `viterbi_batch_rows(need_bt=True)` (mirroring the
 reference's display/realign caps, src/hhdecl.cpp:165-169 B=Z=500).
-
-Memory: the 5 state columns live in VMEM scratch, (Lq8, 8, 128) f32
-each, so the kernel requires roughly (5*Lq8 + 2*Lq8) * 4 KiB of VMEM
-(state + double-buffered Si block).  Callers should dispatch to the
-rows kernel when `lq8 * 28 KiB` approaches the ~16 MiB VMEM budget
-(Lq beyond ~450).
 """
 
 from __future__ import annotations
@@ -39,17 +57,20 @@ def _round_up(x, m):
 
 @functools.partial(
     __import__("jax").jit,
-    static_argnames=("unroll", "lane_groups", "interpret"))
+    static_argnames=("unroll", "lane_groups", "si_dtype", "panel_rows",
+                     "interpret"))
 def viterbi_score_lanes(qp, qtr, tp, ttr, t_L, shift, ss_score=None,
                         ss_lut=None, ss_qidx=None, ss_tidx=None,
-                        unroll=4, lane_groups=8, interpret=False):
+                        unroll=8, lane_groups=16, si_dtype="bfloat16",
+                        panel_rows=256, interpret=False):
     """Best local Viterbi score per template (egq=egt=0, local mode).
 
-    Same score semantics as ``viterbi_batch_rows(..., local=True)``;
-    returns only the (B,) float32 score vector.  Padding lanes (zero
-    profiles) and padded query rows are driven to -FLT_MAX through the
-    Si matrix, so no per-lane length masks are needed (template
-    padding is handled the same way as in the rows kernel).
+    Same score semantics as ``viterbi_batch_rows(..., local=True)``
+    (exactly with ``si_dtype='float32'``, to ~0.1% with the default
+    bfloat16 Si streaming); returns only the (B,) float32 score
+    vector.  Padding lanes (zero profiles) and padded query rows are
+    driven to -FLT_MAX through the Si matrix, so no per-lane length
+    masks are needed.
 
     SS scoring (Viterbi::ScoreSS, hhviterbi.h:193-211) can be supplied
     two ways: a dense precomputed ``ss_score`` (B, Lq+1, Lt+1), or the
@@ -72,23 +93,26 @@ def viterbi_score_lanes(qp, qtr, tp, ttr, t_L, shift, ss_score=None,
     B = tp.shape[0]
     f32 = jnp.float32
     NEG = f32(-FLT_MAX)
+    si_t = jnp.bfloat16 if si_dtype == "bfloat16" else f32
 
-    # lane_groups > 8 packs several (8,128) vregs per state array: more
-    # independent work per ALU op to hide the row-to-row dependency
-    # chain latency (costs proportionally more VMEM for the columns)
     G, BK = lane_groups, 128
+    if si_t == jnp.bfloat16 and G % 16:
+        raise ValueError("bfloat16 Si needs lane_groups % 16 == 0")
     TILE = G * BK
     Bp = _round_up(B, TILE)
     nB = Bp // TILE
     U = unroll
-    Lq8 = _round_up(Lq, max(8, U))
+    # panel height: multiple of both the unroll and the sublane tile
+    P = _round_up(min(panel_rows, _round_up(Lq, max(8, U))), max(8, U))
+    nP = -(-Lq // P)
+    Lq8 = nP * P
 
-    # ---- Si = log2(profile dot) + shift (+ss), (nB, Lq8, Lt, 8, 128).
+    # ---- Si = log2(profile dot) + shift (+ss), (nB, Lq8, Lt, G, BK).
     # The einsum is arranged so its natural dot_general output order
     # (batch n, lhs-free i, rhs-free o/g/l) IS the layout the kernel
     # consumes: XLA then emits one dot with the log2/shift/pad-mask
     # epilogue fused, instead of dot + transpose + elementwise (3
-    # passes over the O(B*Lq*Lt) tensor, ~60% of kernel runtime).
+    # passes over the O(B*Lq*Lt) tensor, ~60% of sweep runtime).
     qp1 = jnp.pad(qp[1:Lq + 1].astype(f32),
                   ((0, Lq8 - Lq), (0, 0)))               # (Lq8, 20)
     tp1 = tp[:, 1:Lt + 1].astype(f32)                    # (B, Lt, 20)
@@ -97,7 +121,7 @@ def viterbi_score_lanes(qp, qtr, tp, ttr, t_L, shift, ss_score=None,
                         (0, 3, 4, 1, 2))                 # (nB,Lt,20,G,BK)
     qp_b = jnp.broadcast_to(qp1, (nB, Lq8, 20))
     dot = jnp.einsum("nia,noagl->niogl", qp_b, tpT,
-                     preferred_element_type=f32)         # (nB,Lq8,Lt,8,128)
+                     preferred_element_type=f32)         # (nB,Lq8,Lt,G,BK)
     Si = _log2f4(dot) + f32(shift)
     if ss_score is not None:
         ss = jnp.pad(ss_score[:, 1:, 1:], ((0, Bp - B), (0, Lq8 - Lq),
@@ -113,9 +137,9 @@ def viterbi_score_lanes(qp, qtr, tp, ttr, t_L, shift, ss_score=None,
         Si = Si + jnp.take(ss_lut.astype(f32), qi + ti, axis=0)
     # padded query rows get -FLT_MAX so they can never win the best
     # tracker (local mode restarts at 0, so the pad must sit in Si);
-    # the iota select fuses into the dot epilogue
+    # the iota select and the si_dtype cast fuse into the dot epilogue
     row = jax.lax.broadcasted_iota(jnp.int32, Si.shape, 1)
-    Si = jnp.where(row < Lq, Si, NEG)
+    Si = jnp.where(row < Lq, Si, NEG).astype(si_t)
 
     # ---- template transitions per column j (cell column jj = j+1):
     # [M2M,D2M,I2M,M2D,D2D at jj-1; M2I,I2I at jj]
@@ -130,124 +154,195 @@ def viterbi_score_lanes(qp, qtr, tp, ttr, t_L, shift, ss_score=None,
     tvec = jnp.transpose(tv.reshape(nB, G, BK, 7, Lt), (0, 4, 3, 1, 2))
     # (nB, Lt, 7, 8, 128)
 
-    # query transitions as SMEM scalars
-    Lqp = _round_up(Lq + 2, 8)
+    # query transitions as SMEM scalars; padded past the last panel's
+    # pad rows (those rows read qtr at i+1 <= Lq8) with -FLT_MAX,
+    # which drives their state to -FLT_MAX without producing NaNs
+    Lqp = _round_up(max(Lq + 2, Lq8 + 1), 8)
     qtr_s = jnp.pad(qtr.astype(f32).T, ((0, 0), (0, Lqp - (Lq + 2))),
                     constant_values=-FLT_MAX)            # (7, Lqp)
 
-    def kernel(si_ref, tv_ref, qtr_ref, out_ref,
-               mm_c, gd_c, im_c, dg_c, mi_c, best_ref):
-        j = pl.program_id(1)
+    def make_kernel(first_panel, p0):
+        def kernel(si_ref, tv_ref, qtr_ref, *refs):
+            if first_panel:
+                (out_ref, bout_ref,
+                 mm_c, gd_c, im_c, dg_c, mi_c, best_ref, bprev) = refs
+                bin_ref = None
+            else:
+                (bin_ref, out_ref, bout_ref,
+                 mm_c, gd_c, im_c, dg_c, mi_c, best_ref, bprev) = refs
+            j = pl.program_id(1)
 
-        @pl.when(j == 0)
-        def _():
-            # old column jj-1 = 0 boundary: MM=0, others -inf
-            # (hhviterbialgorithm.cpp:138-175 zero end-gap boundaries)
-            mm_c[...] = jnp.zeros((Lq8, G, BK), f32)
-            for c in (gd_c, im_c, dg_c, mi_c):
-                c[...] = jnp.full((Lq8, G, BK), -FLT_MAX)
-            best_ref[...] = jnp.full((G, BK), -FLT_MAX)
+            zero = jnp.zeros((G, BK), f32)
+            ninf = jnp.full((G, BK), -FLT_MAX)
 
-        tvv = tv_ref[0, 0]
-        tm2m1 = tvv[0]
-        td2m1 = tvv[1]
-        ti2m1 = tvv[2]
-        tm2d1 = tvv[3]
-        td2d1 = tvv[4]
-        tm2i0 = tvv[5]
-        ti2i0 = tvv[6]
+            @pl.when(j == 0)
+            def _():
+                # old column jj-1 = 0 boundary: MM=0, others -inf
+                # (hhviterbialgorithm.cpp:138-175 zero end-gap bounds)
+                mm_c[...] = jnp.zeros((P, G, BK), f32)
+                for c in (gd_c, im_c, dg_c, mi_c):
+                    c[...] = jnp.full((P, G, BK), -FLT_MAX)
+                best_ref[...] = jnp.full((G, BK), -FLT_MAX)
+                # row p0-1 state of column 0 (the boundary column):
+                # MM=0, others -inf for every row
+                bprev[0] = zero
+                for c in (1, 2, 3, 4):
+                    bprev[c] = ninf
 
-        zero = jnp.zeros((G, BK), f32)
-        ninf = jnp.full((G, BK), -FLT_MAX)
+            tvv = tv_ref[0, 0]
+            tm2m1 = tvv[0]
+            td2m1 = tvv[1]
+            ti2m1 = tvv[2]
+            tm2d1 = tvv[3]
+            td2d1 = tvv[4]
+            tm2i0 = tvv[5]
+            ti2i0 = tvv[6]
 
-        def body(k, carry):
-            (mm_pn, dg_pn, mi_pn,          # NEW column, row i-1
-             mm_po, gd_po, im_po, dg_po, mi_po,   # OLD column, row i-1
-             best) = carry
-            for u in range(U):
-                i = k * U + u              # 0-based; cell row r = i+1
-                qm2m1 = qtr_ref[M2M, i]
-                qd2m1 = qtr_ref[D2M, i]
-                qi2m1 = qtr_ref[I2M, i]
-                qm2d1 = qtr_ref[M2D, i]
-                qd2d1 = qtr_ref[D2D, i]
-                qm2i0 = qtr_ref[M2I, i + 1]
-                qi2i0 = qtr_ref[I2I, i + 1]
+            if first_panel:
+                # row p0-1 = virtual row 0: new column MM=0, rest -inf
+                mm_b, gd_b, im_b, dg_b, mi_b = zero, ninf, ninf, ninf, ninf
+            else:
+                bin_v = bin_ref[0, 0]
+                mm_b = bin_v[0]
+                gd_b = bin_v[1]
+                im_b = bin_v[2]
+                dg_b = bin_v[3]
+                mi_b = bin_v[4]
 
-                mm_oi = mm_c[i]
-                gd_oi = gd_c[i]
-                im_oi = im_c[i]
-                dg_oi = dg_c[i]
-                mi_oi = mi_c[i]
+            def body(k, carry):
+                (mm_pn, dg_pn, mi_pn,          # NEW column, row i-1
+                 mm_po, gd_po, im_po, dg_po, mi_po,   # OLD column, row i-1
+                 best) = carry
+                for u in range(U):
+                    ip = k * U + u             # panel-local row
+                    i = ip + p0                # 0-based; cell row r = i+1
+                    qm2m1 = qtr_ref[M2M, i]
+                    qd2m1 = qtr_ref[D2M, i]
+                    qi2m1 = qtr_ref[I2M, i]
+                    qm2d1 = qtr_ref[M2D, i]
+                    qd2d1 = qtr_ref[D2D, i]
+                    qm2i0 = qtr_ref[M2I, i + 1]
+                    qi2i0 = qtr_ref[I2I, i + 1]
 
-                # MM[r][jj]: five predecessors at (r-1, jj-1); same
-                # add grouping as the rows kernel for bit parity
-                c_mm = (mm_po + qm2m1) + tm2m1
-                best5 = jnp.maximum(f32(0.0), c_mm)
-                best5 = jnp.maximum(best5, (gd_po + qm2m1) + td2m1)
-                best5 = jnp.maximum(best5, (im_po + qi2m1) + tm2m1)
-                best5 = jnp.maximum(best5, (dg_po + qd2m1) + tm2m1)
-                best5 = jnp.maximum(best5, (mi_po + qm2m1) + ti2m1)
-                mm_new = best5 + si_ref[0, i, 0]
+                    mm_oi = mm_c[ip]
+                    gd_oi = gd_c[ip]
+                    im_oi = im_c[ip]
+                    dg_oi = dg_c[ip]
+                    mi_oi = mi_c[ip]
 
-                # DG/MI[r][jj]: predecessors at (r-1, jj), NEW column
-                dg_new = jnp.maximum(mm_pn + qm2d1, dg_pn + qd2d1)
-                mi_new = jnp.maximum(mm_pn + tm2i0,
-                                     mi_pn + ti2i0) + qm2m1
+                    # MM[r][jj]: five predecessors at (r-1, jj-1).
+                    # Common addends are factored out of the maxes and
+                    # the max tree is balanced: fewer, shorter
+                    # dependency chains than the reference's linear
+                    # chain (same result up to f32 rounding; exact for
+                    # the factored terms since max(x+c,y+c)=max(x,y)+c)
+                    t_a = jnp.maximum(mm_po + qm2m1, im_po + qi2m1)
+                    t_a = jnp.maximum(t_a, dg_po + qd2m1) + tm2m1
+                    t_b = jnp.maximum(gd_po + td2m1,
+                                      mi_po + ti2m1) + qm2m1
+                    best5 = jnp.maximum(jnp.maximum(f32(0.0), t_a), t_b)
+                    si = si_ref[0, ip, 0]
+                    if si_t != f32:
+                        si = si.astype(f32)
+                    mm_new = best5 + si
 
-                # GD/IM[r][jj]: predecessors at (r, jj-1), OLD column
-                gd_new = jnp.maximum(mm_oi + tm2d1, gd_oi + td2d1)
-                im_new = jnp.maximum(mm_oi + qm2i0,
-                                     im_oi + qi2i0) + tm2m1
+                    # DG/MI[r][jj]: predecessors at (r-1, jj), NEW col
+                    dg_new = jnp.maximum(mm_pn + qm2d1, dg_pn + qd2d1)
+                    mi_new = jnp.maximum(mm_pn + tm2i0,
+                                         mi_pn + ti2i0) + qm2m1
 
-                best = jnp.maximum(best, mm_new)
+                    # GD/IM[r][jj]: predecessors at (r, jj-1), OLD col
+                    gd_new = jnp.maximum(mm_oi + tm2d1, gd_oi + td2d1)
+                    im_new = jnp.maximum(mm_oi + qm2i0,
+                                         im_oi + qi2i0) + tm2m1
 
-                mm_c[i] = mm_new
-                gd_c[i] = gd_new
-                im_c[i] = im_new
-                dg_c[i] = dg_new
-                mi_c[i] = mi_new
+                    best = jnp.maximum(best, mm_new)
 
-                mm_pn, dg_pn, mi_pn = mm_new, dg_new, mi_new
-                mm_po, gd_po, im_po = mm_oi, gd_oi, im_oi
-                dg_po, mi_po = dg_oi, mi_oi
-            return (mm_pn, dg_pn, mi_pn,
-                    mm_po, gd_po, im_po, dg_po, mi_po, best)
+                    mm_c[ip] = mm_new
+                    gd_c[ip] = gd_new
+                    im_c[ip] = im_new
+                    dg_c[ip] = dg_new
+                    mi_c[ip] = mi_new
 
-        init = (zero, ninf, ninf,          # row 0, new column: MM=0
-                zero, ninf, ninf, ninf, ninf,   # row 0, old column
-                best_ref[...])
-        res = jax.lax.fori_loop(0, Lq8 // U, body, init)
-        best_ref[...] = res[-1]
+                    mm_pn, dg_pn, mi_pn = mm_new, dg_new, mi_new
+                    mm_po, gd_po, im_po = mm_oi, gd_oi, im_oi
+                    dg_po, mi_po = dg_oi, mi_oi
+                return (mm_pn, dg_pn, mi_pn,
+                        mm_po, gd_po, im_po, dg_po, mi_po, best)
 
-        @pl.when(j == Lt - 1)
-        def _():
-            out_ref[0] = best_ref[...]
+            init = (mm_b, dg_b, mi_b,          # row p0-1, new column
+                    bprev[0], bprev[1], bprev[2], bprev[3], bprev[4],
+                    best_ref[...])             # row p0-1, old column
+            res = jax.lax.fori_loop(0, P // U, body, init)
+            best_ref[...] = res[-1]
+
+            # boundary out: this panel's last-row state of column j
+            # seeds the next panel's carries
+            bout_ref[0, 0, 0] = mm_c[P - 1]
+            bout_ref[0, 0, 1] = gd_c[P - 1]
+            bout_ref[0, 0, 2] = im_c[P - 1]
+            bout_ref[0, 0, 3] = dg_c[P - 1]
+            bout_ref[0, 0, 4] = mi_c[P - 1]
+            # current column's boundary-in becomes next column's
+            # old-column boundary
+            if not first_panel:
+                for c in range(5):
+                    bprev[c] = bin_ref[0, 0, c]
+
+            @pl.when(j == Lt - 1)
+            def _():
+                out_ref[0] = best_ref[...]
+
+        return kernel
 
     grid = (nB, Lt)
-    res = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, Lq8, 1, G, BK), lambda b, j: (b, 0, j, 0, 0)),
-            pl.BlockSpec((1, 1, 7, G, BK), lambda b, j: (b, j, 0, 0, 0)),
-            pl.BlockSpec((7, Lqp), lambda b, j: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((1, G, BK), lambda b, j: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((nB, G, BK), f32),
-        scratch_shapes=[
-            pltpu.VMEM((Lq8, G, BK), f32),
-            pltpu.VMEM((Lq8, G, BK), f32),
-            pltpu.VMEM((Lq8, G, BK), f32),
-            pltpu.VMEM((Lq8, G, BK), f32),
-            pltpu.VMEM((Lq8, G, BK), f32),
-            pltpu.VMEM((G, BK), f32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
-        interpret=interpret,
-    )(Si, tvec, qtr_s)
+    tv_spec = pl.BlockSpec((1, 1, 7, G, BK), lambda b, j: (b, j, 0, 0, 0))
+    qtr_spec = pl.BlockSpec((7, Lqp), lambda b, j: (0, 0),
+                            memory_space=pltpu.SMEM)
+    bnd_spec = pl.BlockSpec((1, 1, 5, G, BK),
+                            lambda b, j: (b, j, 0, 0, 0))
+    scratch = [
+        pltpu.VMEM((P, G, BK), f32),
+        pltpu.VMEM((P, G, BK), f32),
+        pltpu.VMEM((P, G, BK), f32),
+        pltpu.VMEM((P, G, BK), f32),
+        pltpu.VMEM((P, G, BK), f32),
+        pltpu.VMEM((G, BK), f32),
+        pltpu.VMEM((5, G, BK), f32),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((nB, G, BK), f32),
+        jax.ShapeDtypeStruct((nB, Lt, 5, G, BK), f32),
+    ]
+    out_specs = [pl.BlockSpec((1, G, BK), lambda b, j: (b, 0, 0)),
+                 bnd_spec]
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"))
 
-    score = res.reshape(Bp)[:B]
+    score = None
+    boundary = None
+    for p in range(nP):
+        p0 = p * P
+        kern = make_kernel(p == 0, p0)
+        ins = [Si, tvec, qtr_s]
+        # the panel offset lives in the index map: no Si slice copy
+        in_specs = [pl.BlockSpec((1, P, 1, G, BK),
+                                 lambda b, j, pi=p: (b, pi, j, 0, 0)),
+                    tv_spec, qtr_spec]
+        if p > 0:
+            ins.append(boundary)
+            in_specs.append(bnd_spec)
+        best_p, boundary = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shapes),
+            scratch_shapes=scratch,
+            compiler_params=params,
+            interpret=interpret,
+        )(*ins)
+        score = best_p if score is None else jnp.maximum(score, best_p)
+
+    score = score.reshape(Bp)[:B]
     return jnp.maximum(score, NEG)

@@ -368,7 +368,7 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
 
         interp = not _on_tpu()   # tests force the funnel on CPU
         scores = np.full(len(junk), -FLT_MAX, dtype=np.float32)
-        SB = 1024
+        SB = 2048                # one full lanes tile (G=16 x 128)
         qp_f = q.p.astype(np.float32)
         qtr_f = q.tr.astype(np.float32)
         for s in range(0, len(junk), SB):
@@ -394,12 +394,12 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                     tidx = np.pad(tidx, ((0, tp.shape[0] - tidx.shape[0]),
                                          (0, 0)))
                 kw = dict(ss_lut=lut, ss_qidx=qidx, ss_tidx=tidx)
-            # wider lane packing hides the row-dependency ALU latency;
-            # VMEM (7 * Lq8 * G * 512B) caps G by query length
-            G = 16 if q.L <= 288 else 8
+            # default lane_groups=16 (2 vregs of ILP per ALU op) works
+            # for any query length now that the kernel row-panels its
+            # VMEM state; Si streams as bfloat16 (ranking-only scores,
+            # survivors are re-scored exactly by the backtrace pass)
             sc = viterbi_score_lanes(qp_f, qtr_f, tp, ttr, t_L,
                                      np.float32(par.shift),
-                                     lane_groups=G,
                                      interpret=interp, **kw)
             scores[s: s + len(idxs)] = np.asarray(sc)[: len(idxs)]
         return scores

@@ -5,7 +5,10 @@ Forces the funnel on the CPU interpret path and checks that
     hit with a backtrace path, identical to the single-pass run, and
 (b) the remaining light hits carry kernel scores matching the
     single-pass scores (par.corr=0 so the correlation term does not
-    split the two).
+    split the two) to the lanes sweep's bfloat16-Si tolerance: light
+    hits rank BELOW the backtrace/display caps, so their scores are
+    never printed at better than %.1f precision and only order the
+    unreported tail (viterbi_lanes.py si_dtype).
 """
 
 import copy
@@ -92,7 +95,7 @@ def test_funnel_light_scores_match(searched):
     assert lights, "expected some light hits with 14 templates and K=6"
     for h in lights:
         ref = by_entry[h.entry]
-        assert h.score == pytest.approx(ref.score, rel=2e-6, abs=1e-3)
+        assert h.score == pytest.approx(ref.score, rel=3e-4, abs=0.05)
         assert h.nsteps == 0 and h.matched_cols == 0
 
 
