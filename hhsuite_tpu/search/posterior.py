@@ -600,23 +600,50 @@ class PosteriorDecoder:
         hit.alt_i = alt_i
         hit.alt_j = alt_j
 
-        # rescoring along the MAC path (hhbacktracemac.cpp:186-254)
+        # rescoring along the MAC path (hhbacktracemac.cpp:186-254);
+        # the per-MM-step dot/log2/table lookups are batched through
+        # the vectorized fastmath twins (bit-identical elementwise),
+        # only the reference's SEQUENTIAL f32/f64 accumulators stay as
+        # O(path) python loops to preserve its rounding order
         S = np.zeros(nsteps + 1, dtype=np.float32)
         S_ss = np.zeros(nsteps + 1, dtype=np.float32)
         P_post = np.zeros(nsteps + 1, dtype=np.float32)
-        score_ss = np.float32(0.0)
-        sum_of_probs = 0.0
         ssm = hit.ssm1 + hit.ssm2
-        for step in range(1, nsteps + 1):
-            if hit.states[step] == MM:
-                si, sj = int(hit.i[step]), int(hit.j[step])
-                S[step] = fm.fast_log2(fm.scalar_prod20(q.p[si], t.p[sj]))
-                S_ss[step] = _score_ss_single(q, t, si, sj, self.ssw, ssm,
-                                              self.S73, self.S37, self.S33)
-                score_ss = np.float32(score_ss + S_ss[step])
-                P_post[step] = p_mm[si, sj]
-                if t.nss_dssp < 0 or t.ss_dssp[sj] > 0:
-                    sum_of_probs += float(P_post[step])
+        mm_steps = np.nonzero(hit.states[1: nsteps + 1] == MM)[0] + 1
+        if mm_steps.size:
+            si = hit.i[mm_steps].astype(np.int64)
+            sj = hit.j[mm_steps].astype(np.int64)
+            S[mm_steps] = fm.fast_log2(
+                fm.scalar_prod20(q.p[si], t.p[sj]))
+            if ssm and self.S73 is not None:
+                ic = np.minimum(si, q.ss_pred.shape[0] - 1)
+                jc = np.minimum(sj, t.ss_pred.shape[0] - 1)
+                if ssm == 1:      # PRED_DSSP
+                    sv = self.S37[q.ss_pred[ic], q.ss_conf[ic],
+                                  t.ss_dssp[jc]]
+                elif ssm == 2:    # DSSP_PRED
+                    sv = self.S73[q.ss_dssp[ic], t.ss_pred[jc],
+                                  t.ss_conf[jc]]
+                elif ssm == 3:    # PRED_PRED
+                    sv = self.S33[q.ss_pred[ic], q.ss_conf[ic],
+                                  t.ss_pred[jc], t.ss_conf[jc]]
+                else:
+                    sv = np.zeros(mm_steps.size, dtype=np.float32)
+                # f64 product then one f32 rounding, like the scalar
+                # ssw * float(table[...]) expression
+                S_ss[mm_steps] = (np.float64(self.ssw)
+                                  * sv.astype(np.float64)).astype(
+                                      np.float32)
+            P_post[mm_steps] = p_mm[si, sj]
+        score_ss = np.float32(0.0)
+        for v in S_ss[mm_steps]:
+            score_ss = np.float32(score_ss + v)
+        sum_of_probs = 0.0
+        if mm_steps.size:
+            keep = (np.ones(mm_steps.size, bool) if t.nss_dssp < 0
+                    else t.ss_dssp[hit.j[mm_steps].astype(np.int64)] > 0)
+            for v in P_post[mm_steps][keep]:
+                sum_of_probs += float(v)
         hit.S = S
         hit.S_ss = S_ss
         hit.P_posterior = P_post
@@ -627,10 +654,10 @@ class PosteriorDecoder:
         scorr = np.float32(0.0)
         if nsteps:
             for lag in (1, 2, 3, 4):
-                for step in range(1, nsteps + 1 - lag):
-                    scorr = np.float32(scorr
-                                       + np.float32(S[step]
-                                                    * S[step + lag]))
+                prods = np.float32(S[1: nsteps + 1 - lag]
+                                   * S[1 + lag: nsteps + 1])
+                for v in prods:
+                    scorr = np.float32(scorr + v)
             hit.score += float(np.float32(corr) * scorr)
         hit.score_aass = -hit.score
         hit.logPval = 0.0
