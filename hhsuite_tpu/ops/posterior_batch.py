@@ -1,0 +1,399 @@
+"""Batched device Forward/Backward/MAC posterior decoding.
+
+TPU-native realignment stage: where the reference decodes one hit at a
+time with scalar double-precision loops (src/hhforwardalgorithm.cpp,
+src/hhbackwardalgorithm.cpp, src/hhmacalgorithm.cpp, orchestrated one
+OpenMP thread per template by src/hhposteriordecoderrunner.cpp:43-119),
+this module decodes a BATCH of hits as (B, Lt+1) row vectors:
+
+* a `lax.scan` walks query rows (the i loop);
+* per row, the MM/DG/MI updates are elementwise in j, and the same-row
+  chains (GD/IM in Forward and Backward, the gap chain in MAC) are
+  first-order affine/max-plus recurrences evaluated with
+  `lax.associative_scan` (O(log Lt) steps on the VPU);
+* the reference's per-row rescaling (scale[i+1] = 1 / (Pmax_i + 1),
+  hhforwardalgorithm.cpp:139-148) is kept per lane, so float32 has the
+  same per-row dynamic range the reference gives float64.
+
+Numerics: float32 with reassociated row sums/scans — NOT bit-identical
+to the reference's sequential doubles.  This is the bulk-throughput
+path; the byte-exact scalar/native host decoder in search/posterior.py
+remains the oracle path (and handles -omat, which needs the sparse
+forward/backward matrices).
+
+The MAC backtrace is decoded on device too (`mac_walk`): only the
+O(B*(Lq+Lt)) step lists and path posteriors cross the device->host
+link, never the O(B*Lq*Lt) posterior/backtrace matrices.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+FLT_MAX = float(np.finfo(np.float32).max)
+FLT_MIN = float(np.finfo(np.float32).tiny)
+FLUSH = FLT_MIN * 100.0
+M2M, M2I, M2D, I2M, I2I, D2M, D2D = range(7)
+STOP, MM, GD, IM, DG, MI = 0, 2, 3, 4, 5, 6
+LAMDA = 0.388
+
+
+def _lin_scan(u, a, reverse=False):
+    """Inclusive y(j) = u(j) + a(j) * y(prev j) along the last axis
+    (prev = j-1, or j+1 with reverse=True); y starts at 0."""
+    import jax
+
+    def comb(x, y):
+        ax, ux = x
+        ay, uy = y
+        return (ax * ay, uy + ay * ux)
+
+    _, yy = jax.lax.associative_scan(comb, (a, u), axis=u.ndim - 1,
+                                     reverse=reverse)
+    return yy
+
+
+def _maxplus_scan(m, decay):
+    """Inclusive S(j) = max(m(j), S(j-1) - decay(j)) along the last
+    axis."""
+    import jax
+    import jax.numpy as jnp
+
+    def comb(x, y):
+        vx, dx = x
+        vy, dy = y
+        return (jnp.maximum(vy, vx - dy), dx + dy)
+
+    vv, _ = jax.lax.associative_scan(comb, (m, decay),
+                                     axis=m.ndim - 1)
+    return vv
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("local", "interpret", "_debug"))
+def fb_mac_batch(qp, qtr_lin, tp, ttr_lin, co, shift, mact,
+                 ss_fpow2=None, ss0_fpow2=None, local=True,
+                 interpret=False, _debug=False):
+    """Forward + Backward + MAC for a batch of hits.
+
+    qp (Lq+2, 20) f32; qtr_lin (Lq+2, 7) LINEAR-space query transitions
+    (prepare_query_transitions applied); tp (B, Lt+2, 20); ttr_lin
+    (B, Lt+2, 7) linear template transitions; co (B, Lq+1, Lt+1) bool
+    cell-off corridor; ss_fpow2 optional (B, Lq+1, Lt+1) f32 fpow2(SS)
+    factors and ss0_fpow2 (B,) the boundary-column factor
+    fpow2(ScoreSS(1, Lt+1)) (hhforwardalgorithm.cpp's jmin quirk).
+
+    Returns (score (B,), b_mac (B, Lq+1, Lt+1) uint8, i2 (B,), j2 (B,),
+    p_mm posterior (B, Lq+1, Lt+1) f32 — device-resident).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    f32 = jnp.float32
+    B = tp.shape[0]
+    Lq = qp.shape[0] - 2
+    Lt = tp.shape[1] - 2
+    Wj = Lt + 1
+    Cshift = jnp.exp2(jnp.asarray(shift, f32))
+
+    qpf = qp.astype(f32)
+    qtr = qtr_lin.astype(f32)
+    ttr = ttr_lin.astype(f32)
+
+    # match-probability tensor in the natural (b, i, j) layout
+    qp_b = jnp.broadcast_to(qpf[: Lq + 1], (B, Lq + 1, 20))
+    PF = jnp.einsum("bia,bja->bij", qp_b, tp[:, : Lt + 1].astype(f32),
+                    preferred_element_type=f32)        # (B, Lq+1, Wj)
+    PFC = PF * Cshift
+    if ss_fpow2 is not None:
+        PFC = PFC * ss_fpow2.astype(f32)
+    ok = ~co                                           # (B, Lq+1, Wj)
+    okf = ok.astype(f32).at[:, :, 0].set(0.0)
+
+    # rows pre-transposed to (Lq+1, B, Wj) so lax.scan slices them
+    PFC_r = jnp.transpose(PFC, (1, 0, 2))
+    PF1_r = jnp.transpose(PF * Cshift, (1, 0, 2))      # without SS
+    okf_r = jnp.transpose(okf, (1, 0, 2))
+
+    # per-column template transition rows, (B, Wj) each
+    t_mm = ttr[:, :Wj, M2M]
+    t_mi = ttr[:, :Wj, M2I]
+    t_ii = ttr[:, :Wj, I2I]
+    t_md = ttr[:, :Wj, M2D]
+    t_dd = ttr[:, :Wj, D2D]
+    t_dm = ttr[:, :Wj, D2M]
+    t_im = ttr[:, :Wj, I2M]
+
+    def shift_r(x):
+        return jnp.pad(x, ((0, 0), (1, 0)))[:, :-1]
+
+    def shift_l(x):
+        return jnp.pad(x, ((0, 0), (0, 1)))[:, 1:]
+
+    ss0 = (ss0_fpow2.astype(f32) if ss0_fpow2 is not None
+           else jnp.ones((B,), f32))
+
+    # ---------------- Forward (hhforwardalgorithm.cpp) ----------------
+    # row 1: MM = match prob (NO SS factor in the reference's row-1
+    # loop, hhforwardalgorithm.cpp:28-58); IM/GD prefix chains
+    mm1 = PF1_r[1] * okf_r[1]
+    im1 = _lin_scan(shift_r(mm1) * f32(qtr[1, M2I]) * shift_r(t_mm),
+                    f32(qtr[1, I2I]) * shift_r(t_mm))
+    gd1 = _lin_scan(shift_r(mm1) * shift_r(t_md), shift_r(t_dd))
+    zer = jnp.zeros_like(mm1)
+
+    def fwd_row(carry, xs):
+        (p_mm, p_mi, p_dg, p_im, p_gd,
+         scale_i, scale_prod, pmin, sum_log2, pfwd) = carry
+        i, pfc_i, pf1_i, ok_i = xs
+        scale_prod = jnp.where(scale_prod < FLUSH, 0.0,
+                               scale_prod * scale_i)
+
+        qmm = qtr[i - 1, M2M]
+        qim = qtr[i - 1, I2M]
+        qdm = qtr[i - 1, D2M]
+        qmd = qtr[i - 1, M2D]
+        qdd = qtr[i - 1, D2D]
+        qmi = qtr[i, M2I]
+        qii = qtr[i, I2I]
+
+        si = scale_i[:, None]
+        mm = pfc_i * si * (pmin[:, None]
+                           + shift_r(p_mm) * qmm * shift_r(t_mm)
+                           + shift_r(p_gd) * qmm * shift_r(t_dm)
+                           + shift_r(p_im) * qim * shift_r(t_mm)
+                           + shift_r(p_dg) * qdm * shift_r(t_mm)
+                           + shift_r(p_mi) * qmm * shift_r(t_im))
+        # jmin cell: fresh start scaled by the cumulative product, with
+        # the reference's boundary SS factor instead of ss(i, 1)
+        mm = mm.at[:, 1].set(scale_prod * ss0 * pf1_i[:, 1])
+        mm = mm * ok_i
+
+        dg = si * (p_mm * qmd + p_dg * qdd) * ok_i
+        mi = si * (p_mm * qmm * t_mi + p_mi * qmm * t_ii) * ok_i
+        gd = _lin_scan(shift_r(mm) * shift_r(t_md) * ok_i,
+                       shift_r(t_dd) * ok_i)
+        im = _lin_scan(shift_r(mm) * qmi * shift_r(t_mm) * ok_i,
+                       qii * shift_r(t_mm) * ok_i)
+
+        # Pmax over j >= 2 only (hhforwardalgorithm.cpp:139-143)
+        pmax = jnp.maximum(jnp.max(mm.at[:, 1].set(0.0), axis=1), 0.0)
+        scale_next = 1.0 / (pmax + 1.0)
+
+        if local:
+            pfwd = (pfwd + jnp.sum(mm, axis=1)) * scale_next
+        else:
+            pfwd = jnp.where(i < Lq,
+                             (pfwd + mm[:, Lt]) * scale_next,
+                             (pfwd + jnp.sum(mm, axis=1)) * scale_next)
+        sum_log2 = sum_log2 + jnp.log2(scale_next)
+        # the reference multiplies pmin by scale[i] at the END of the
+        # row (hhforwardalgorithm.cpp), i.e. row i uses prod(scale[2:i])
+        pmin = pmin * scale_i
+        pmin = jnp.where(pmin < FLUSH, 0.0, pmin)
+        return ((mm, mi, dg, im, gd, scale_next, scale_prod, pmin,
+                 sum_log2, pfwd), (mm, scale_next))
+
+    ones_b = jnp.ones((B,), f32)
+    # Pforward accumulator seeded with row 1's term; every later step
+    # multiplies the whole accumulator by scale[i+1], which is exactly
+    # the reference's  Pforward += sum(row i); Pforward *= scale[i+1]
+    # fold (hhforwardalgorithm.cpp:150-166; scale[2] == 1)
+    pfwd1 = (ones_b + jnp.sum(mm1, axis=1)) if local else mm1[:, Lt]
+    pmin1 = ones_b if local else jnp.zeros((B,), f32)
+    init = (mm1, zer, zer, im1, gd1,
+            ones_b, ones_b, pmin1, jnp.zeros((B,), f32), pfwd1)
+
+    rows_i = jnp.arange(2, Lq + 1)
+    xs = (rows_i, PFC_r[2: Lq + 1], PF1_r[2: Lq + 1], okf_r[2: Lq + 1])
+    carry, (fwd_rows, scales) = jax.lax.scan(fwd_row, init, xs)
+    sum_log2_scale = carry[8]
+    Pforward = carry[9]
+
+    fwd_mm = jnp.concatenate(
+        [jnp.zeros((1, B, Wj), f32), mm1[None], fwd_rows], axis=0)
+    # scale_v[k] = scale[k], k in 0..Lq+1 (scale[0..2] = 1,
+    # scales[m] = scale[m+3])
+    scale_v = jnp.concatenate([jnp.ones((3, B), f32), scales], axis=0)
+
+    score = jnp.log2(Pforward) - 10.0 - sum_log2_scale
+    if local:
+        score = score - f32(float(np.log(Lt * Lq) / LAMDA + 14.0))
+
+    # ---------------- Backward (hhbackwardalgorithm.cpp) -------------
+    sLq1 = scale_v[Lq + 1]
+    bwdLq = sLq1[:, None] * okf_r[Lq]                  # bwd MM row Lq
+
+    def bwd_row(carry, xs):
+        n_mm, n_mi, n_dg, n_im, n_gd, scale_prod, pmin = carry
+        i, pfc_i1, ok_i, si1 = xs                      # pfc_i1 = PFC row i+1
+        scale_prod = scale_prod * si1
+        scale_prod = jnp.where(scale_prod < FLUSH, 0.0, scale_prod)
+        pmin = pmin * si1
+        pmin = jnp.where(pmin < FLUSH, 0.0, pmin)
+
+        qmm = qtr[i, M2M]
+        qim = qtr[i, I2M]
+        qii = qtr[i, I2I]
+        qmi = qtr[i, M2I]
+        qmd = qtr[i, M2D]
+        qdd = qtr[i, D2D]
+        qdm = qtr[i, D2M]
+        s1 = si1[:, None]
+
+        pmatch = shift_l(n_mm * pfc_i1) * s1
+        gd = _lin_scan(pmatch * qmm * t_dm * ok_i, t_dd * ok_i,
+                       reverse=True)
+        im = _lin_scan(pmatch * qim * t_mm * ok_i,
+                       qii * t_mm * ok_i, reverse=True)
+        mm = (pmin[:, None]
+              + pmatch * qmm * t_mm
+              + shift_l(gd) * t_md
+              + shift_l(im) * qmi * t_mm
+              + n_dg * qmd * s1
+              + n_mi * qmm * t_mi * s1) * ok_i
+        dg = (pmatch * qdm * t_mm + n_dg * qdd * s1) * ok_i
+        mi = (pmatch * qmm * t_im + n_mi * qmm * t_ii * s1) * ok_i
+        # column Lt boundary: suffix starts here with the cumulative
+        # backward scale product
+        mm = mm.at[:, Lt].set(scale_prod * ok_i[:, Lt])
+        return (mm, mi, dg, im, gd, scale_prod, pmin), mm
+
+    zer_b = jnp.zeros((B, Wj), f32)
+    pminb = sLq1 if local else jnp.zeros((B,), f32)
+    initb = (bwdLq, zer_b, zer_b, zer_b, zer_b, sLq1, pminb)
+    rows_bi = jnp.arange(Lq - 1, 0, -1)
+    xsb = (rows_bi, PFC_r[Lq: 1: -1], okf_r[Lq - 1: 0: -1],
+           scale_v[Lq: 1: -1])
+    _, bwd_rows = jax.lax.scan(bwd_row, initb, xsb)
+    bwd_mm = jnp.concatenate(
+        [jnp.zeros((1, B, Wj), f32), bwd_rows[::-1], bwdLq[None]],
+        axis=0)
+
+    p_mm = (jnp.transpose(fwd_mm, (1, 0, 2))
+            * jnp.transpose(bwd_mm, (1, 0, 2))
+            / Pforward[:, None, None]) * okf
+    p_mm = p_mm.at[:, 0].set(0.0)
+
+    # ---------------- MAC (hhmacalgorithm.cpp) -----------------------
+    mact32 = jnp.asarray(mact, f32)
+    half = f32(0.5) * mact32
+    p_mm_r = jnp.transpose(p_mm, (1, 0, 2))
+    ok_r = jnp.transpose(ok, (1, 0, 2))
+
+    def mac_row(S_prev, xs):
+        post, ok_i = xs
+        term1 = post - mact32
+        term2 = shift_r(S_prev) + post - mact32
+        term3 = S_prev - half
+        m = jnp.maximum(jnp.maximum(term1, term2), term3)
+        m = jnp.where(ok_i, m, f32(-FLT_MIN))
+        m = m.at[:, 0].set(0.0)          # S[0] = 0 seeds the chain
+        decay = jnp.where(ok_i, half, f32(1e30))
+        S = _maxplus_scan(m, decay)
+        S = jnp.where(ok_i, S, f32(-FLT_MIN))
+        S = S.at[:, 0].set(0.0)
+        # backtrace codes from the final S, reference tie-breaks
+        term4 = shift_r(S) - half
+        v = jnp.where(term1 > term2, STOP, MM)
+        mx = jnp.maximum(term1, term2)
+        v = jnp.where(term3 > mx, MI, v)
+        mx = jnp.maximum(mx, term3)
+        v = jnp.where(term4 > mx, IM, v)
+        bi = jnp.where(ok_i, v, STOP).astype(jnp.uint8)
+        bi = bi.at[:, 0].set(STOP)
+        return S, (S, bi)
+
+    S0 = jnp.zeros((B, Wj), f32)
+    _, (S_rows, b_rows) = jax.lax.scan(
+        mac_row, S0, (p_mm_r[1: Lq + 1], ok_r[1: Lq + 1]))
+    S_all = jnp.transpose(
+        jnp.concatenate(
+            [jnp.full((1, B, Wj), -FLT_MAX, f32), S_rows], axis=0),
+        (1, 0, 2))
+    b_mac = jnp.transpose(
+        jnp.concatenate([jnp.zeros((1, B, Wj), jnp.uint8), b_rows],
+                        axis=0), (1, 0, 2))
+
+    # argmax with the reference's strict-> row-major tie-break; co
+    # cells never win (the reference skips them); in global mode only
+    # row Lq / column Lt cells compete
+    Sm = jnp.where(ok, S_all, -FLT_MAX)
+    if not local:
+        gmask = jnp.zeros((B, Lq + 1, Wj), bool)
+        gmask = gmask.at[:, Lq, :].set(True)
+        gmask = gmask.at[:, :, Lt].set(True)
+        Sm = jnp.where(gmask, Sm, -FLT_MAX)
+    Sm = Sm.at[:, 0, :].set(-FLT_MAX)
+    Sm = Sm.at[:, :, 0].set(-FLT_MAX)
+    flat = Sm.reshape(B, -1)
+    kbest = jnp.argmax(flat, axis=1)
+    i2 = (kbest // Wj).astype(jnp.int32)
+    j2 = (kbest % Wj).astype(jnp.int32)
+    sbest = jnp.take_along_axis(flat, kbest[:, None], axis=1)[:, 0]
+    none = sbest <= -FLT_MAX
+    i2 = jnp.where(none, 0, i2)
+    j2 = jnp.where(none, 0, j2)
+
+    if _debug:
+        return (score, b_mac, i2, j2, p_mm,
+                jnp.transpose(fwd_mm, (1, 0, 2)),
+                jnp.transpose(bwd_mm, (1, 0, 2)), scale_v, Pforward)
+    return score, b_mac, i2, j2, p_mm
+
+
+@functools.partial(
+    __import__("jax").jit, static_argnames=("kmax",))
+def mac_walk(b_mac, p_mm, i2, j2, kmax):
+    """Device MAC backtrace (hhbacktracemac.cpp:111-185) batched over
+    lanes, with the path posteriors gathered on device.
+
+    Applies the reference's pre-masking (column 1 and row 1 forced
+    STOP).  Returns (states (B,kmax) u8, ii (B,kmax) i16, jj (B,kmax)
+    i16, post (B,kmax) f32, n (B,) recorded steps, mm_count (B,),
+    empty (B,) bool for the b[i2,j2] != MM special case).  The
+    reference records the STOP/terminal code as a step too, and its
+    matched_cols is 1 + mm_count.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B, Li, Wj = b_mac.shape
+    i32 = jnp.int32
+    b = b_mac.astype(i32)
+    b = b.at[:, :, 1].set(STOP)
+    b = b.at[:, 1, 1:].set(STOP)
+    bf = b.reshape(B, Li * Wj)
+    pf = p_mm.reshape(B, Li * Wj).astype(jnp.float32)
+
+    start = jnp.take_along_axis(bf, (i2 * Wj + j2)[:, None],
+                                axis=1)[:, 0]
+    empty = start != MM
+
+    def step(carry, _):
+        i, j, alive = carry
+        code = jnp.take_along_axis(bf, (i * Wj + j)[:, None],
+                                   axis=1)[:, 0]
+        post = jnp.take_along_axis(pf, (i * Wj + j)[:, None],
+                                   axis=1)[:, 0]
+        rec = alive
+        is_mm = code == MM
+        di = jnp.where(is_mm | (code == MI), 1, 0)
+        dj = jnp.where(is_mm | (code == IM), 1, 0)
+        stop_next = (code != MM) & (code != IM) & (code != MI)
+        i_n = jnp.where(alive & ~stop_next, i - di, i)
+        j_n = jnp.where(alive & ~stop_next, j - dj, j)
+        alive_n = alive & ~stop_next
+        out = (code.astype(jnp.uint8), i.astype(jnp.int16),
+               j.astype(jnp.int16), post, rec, is_mm & rec)
+        return (i_n, j_n, alive_n), out
+
+    init = (i2.astype(i32), j2.astype(i32), ~empty)
+    _, (st, ii, jj, post, rec, mm_rec) = jax.lax.scan(
+        step, init, None, length=kmax)
+    n = rec.astype(i32).sum(axis=0)
+    mm_count = mm_rec.astype(i32).sum(axis=0)
+    return (st.T, ii.T, jj.T, post.T, n, mm_count, empty)
