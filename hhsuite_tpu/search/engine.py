@@ -206,6 +206,16 @@ def template_hmm_from_text(text: str, name: str, par: Parameters,
     raise ValueError(f"unrecognized template format in {name}")
 
 
+def _use_device_realign(par: Parameters, selected) -> bool:
+    """Batched device F/B/MAC when on TPU with enough hits to fill a
+    batch; -omat needs the host decoder's sparse forward/backward
+    products (tests monkeypatch this to force either path on CPU)."""
+    from .viterbi_search import _on_tpu
+
+    return (_on_tpu() and not par.matrices_output_file
+            and len(selected) >= 4)
+
+
 def perform_realign(par: Parameters, q_realign: HMM, hitlist: HitList,
                     get_template, mats: SubstitutionMatrix,
                     ss: Optional[SecStrucMatrices],
@@ -253,19 +263,58 @@ def perform_realign(par: Parameters, q_realign: HMM, hitlist: HitList,
                                *( (ss.S73, ss.S37, ss.S33) if ss
                                   else (None, None, None)))
 
-    for name, group in groups.items():
-        group.sort(key=lambda h: h.irep)
-        t, fmt = get_template(group[0].entry)
-        t.log2lin_transitions()
-        prepare_template_transitions(t)
-        to_exclude: List[MACBacktraceResult] = []
-        for hit in group:
-            co = build_realign_cell_off(q_realign, t, hit,
-                                        par.min_overlap, to_exclude,
-                                        par.exclstr, par.template_exclstr)
-            decoder.realign(q_realign, t, hit, co, par.shift, par.mact,
-                            par.corr)
-            to_exclude.append(MACBacktraceResult(hit.alt_i, hit.alt_j))
+    if _use_device_realign(par, selected):
+        # batched device decoding (ops/posterior_batch.py): hits are
+        # processed level-wise across templates — level k of a group
+        # sees the MAC-path exclusions of levels < k, exactly like the
+        # sequential per-group irep loop (posteriordecoderrunner.cpp)
+        for group in groups.values():
+            group.sort(key=lambda h: h.irep)
+        tmpl: Dict[str, HMM] = {}
+        for name, group in groups.items():
+            t, _fmt = get_template(group[0].entry)
+            t.log2lin_transitions()
+            prepare_template_transitions(t)
+            tmpl[name] = t
+        to_excl: Dict[str, List[MACBacktraceResult]] = \
+            {name: [] for name in groups}
+        level = 0
+        while True:
+            items = []
+            names = []
+            for name, group in groups.items():
+                if level < len(group):
+                    hit = group[level]
+                    t = tmpl[name]
+                    co = build_realign_cell_off(
+                        q_realign, t, hit, par.min_overlap,
+                        to_excl[name], par.exclstr,
+                        par.template_exclstr)
+                    items.append((hit, t, co))
+                    names.append(name)
+            if not items:
+                break
+            decoder.realign_batch_device(q_realign, items, par.shift,
+                                         par.mact, par.corr)
+            for name, (hit, _t, _co) in zip(names, items):
+                to_excl[name].append(
+                    MACBacktraceResult(hit.alt_i, hit.alt_j))
+            level += 1
+    else:
+        for name, group in groups.items():
+            group.sort(key=lambda h: h.irep)
+            t, fmt = get_template(group[0].entry)
+            t.log2lin_transitions()
+            prepare_template_transitions(t)
+            to_exclude: List[MACBacktraceResult] = []
+            for hit in group:
+                co = build_realign_cell_off(
+                    q_realign, t, hit, par.min_overlap, to_exclude,
+                    par.exclstr, par.template_exclstr)
+                decoder.realign(q_realign, t, hit, co, par.shift,
+                                par.mact, par.corr)
+                to_exclude.append(
+                    MACBacktraceResult(hit.alt_i, hit.alt_j))
 
     # delete hits whose realigned alignment became too short
     # (hhblits.cpp:1036-1062); note `continue` skips the length check

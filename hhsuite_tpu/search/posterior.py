@@ -23,7 +23,7 @@ import numpy as np
 
 from .. import fastmath as fm
 from ..constants import (D2D, D2M, FWD_BKW_PATHWIDTH, I2I, I2M, M2D, M2I,
-                         M2M, SELFEXCL)
+                         M2M, NTRANS, SELFEXCL)
 from ..core.hit import Hit, log_pvalue, pvalue
 from ..core.hmm import HMM
 
@@ -282,6 +282,118 @@ class PosteriorDecoder:
                     post.append((i, int(j) + 1, float(v)))
         hit.posterior_matrix = post
         return p_mm
+
+    def realign_batch_device(self, q: HMM, items, shift: float,
+                             mact: float, corr: float,
+                             chunk: int = 64):
+        """Realign a batch of hits with the device F/B/MAC decoder
+        (ops/posterior_batch.py): one fb_mac_batch + mac_walk call per
+        chunk instead of one scalar decode per hit.
+
+        ``items`` is a list of (hit, t, co) with templates already in
+        linear-transition form.  Float32 bulk path: posteriors agree
+        with the host decoder to ~5e-3 and MAC paths are identical
+        away from numerical plateaus; the -omat sparse products are
+        NOT produced (callers must use the host path for -omat).
+        Saved-score semantics match ``realign``.
+        """
+        from ..ops.posterior_batch import fb_mac_batch, mac_walk
+
+        if not items:
+            return
+        Lq = q.L
+        Lt_max = max(t.L for _h, t, _c in items)
+        # bucket shapes so the jit cache stays small; batches are
+        # padded to the full chunk with all-cells-off lanes
+        Lt_pad = -(-max(Lt_max, 128) // 128) * 128
+        qp = q.p.astype(np.float32)
+        qtr = q.tr.astype(np.float32)
+
+        for s in range(0, len(items), chunk):
+            part = items[s: s + chunk]
+            B = chunk if len(items) > chunk else len(part)
+            tp = np.zeros((B, Lt_pad + 2, 20), np.float32)
+            ttr = np.zeros((B, Lt_pad + 2, NTRANS), np.float32)
+            co = np.ones((B, Lq + 1, Lt_pad + 1), bool)
+            need_ss = any(h.ssm2 for h, _t, _c in part)
+            ss_f = (np.ones((B, Lq + 1, Lt_pad + 1), np.float32)
+                    if need_ss else None)
+            ss0 = (np.ones((B,), np.float32) if need_ss else None)
+            for b, (hit, t, co_h) in enumerate(part):
+                tp[b, : t.L + 2] = t.p.astype(np.float32)
+                ttr[b, : t.L + 2] = t.tr.astype(np.float32)
+                co[b, :, : t.L + 1] = co_h
+                if need_ss and hit.ssm2:
+                    m = self._ss_matrix(q, t, hit.ssm2)
+                    ss_f[b, :, : t.L + 1] = fm.fpow2(
+                        m[: Lq + 1, : t.L + 1].astype(np.float32))
+                    ss0[b] = fm.fpow2(np.float32(_score_ss_single(
+                        q, t, 1, t.L + 1, self.ssw, hit.ssm2,
+                        self.S73, self.S37, self.S33)))
+
+            score, b_mac, i2, j2, p_mm_d = fb_mac_batch(
+                qp, qtr, tp, ttr, co, np.float32(shift),
+                np.float32(mact), ss_fpow2=ss_f, ss0_fpow2=ss0,
+                local=self.local)
+            kmax = Lq + Lt_pad + 2
+            st, ii, jj, post, n, mm_count, empty = mac_walk(
+                b_mac, p_mm_d, i2, j2, kmax=kmax)
+            score = np.asarray(score)
+            i2 = np.asarray(i2)
+            j2 = np.asarray(j2)
+            st = np.asarray(st)
+            ii = np.asarray(ii)
+            jj = np.asarray(jj)
+            post = np.asarray(post)
+            n = np.asarray(n)
+            mm_count = np.asarray(mm_count)
+            empty = np.asarray(empty)
+
+            for b, (hit, t, _co_h) in enumerate(part):
+                saved = (hit.score, hit.score_ss, hit.score_aass,
+                         hit.Pval, hit.Pvalt, hit.logPval, hit.logPvalt,
+                         hit.Eval, hit.logEval, hit.Probab)
+                hit.i2 = int(i2[b])
+                hit.j2 = int(j2[b])
+                hit.score = float(score[b])
+                if empty[b]:
+                    hit.matched_cols = 1
+                    hit.i = np.array([hit.i2], np.int32)
+                    hit.j = np.array([hit.j2], np.int32)
+                    hit.states = np.zeros(1, np.int8)
+                    hit.nsteps = 0
+                    hit.i1 = hit.i2
+                    hit.j1 = hit.j2
+                    hit.alt_i = [hit.i2]
+                    hit.alt_j = [hit.j2]
+                    P_post = np.zeros(1, np.float32)
+                else:
+                    nb = int(n[b])
+                    hit.nsteps = nb
+                    hit.i = np.zeros(nb + 1, np.int32)
+                    hit.j = np.zeros(nb + 1, np.int32)
+                    hit.states = np.zeros(nb + 1, np.int8)
+                    hit.i[1:] = ii[b, :nb]
+                    hit.j[1:] = jj[b, :nb]
+                    hit.states[1:] = st[b, :nb]
+                    hit.states[nb] = MM       # reference overwrite
+                    hit.matched_cols = 1 + int(mm_count[b])
+                    hit.i1 = int(hit.i[nb])
+                    hit.j1 = int(hit.j[nb])
+                    hit.alt_i = list(ii[b, :nb])
+                    hit.alt_j = list(jj[b, :nb])
+                    # posteriors only at MM steps (the host gathers
+                    # AFTER the terminal-state MM overwrite, so the
+                    # last step's posterior is included either way)
+                    P_post = np.zeros(nb + 1, np.float32)
+                    mm_mask = hit.states[1:] == MM
+                    P_post[1:][mm_mask] = post[b, :nb][mm_mask]
+                self._rescore_mac_path(q, t, hit, None, corr,
+                                       P_post=P_post)
+                (hit.score, hit.score_ss, hit.score_aass, hit.Pval,
+                 hit.Pvalt, hit.logPval, hit.logPvalt, hit.Eval,
+                 hit.logEval, hit.Probab) = saved
+                hit.P_MM = None
 
     def _forward(self, q, t, hit, p_mm, co, shift, scale):
         """hhforwardalgorithm.cpp:10-220 (double precision, row scaled)."""
@@ -600,14 +712,27 @@ class PosteriorDecoder:
         hit.alt_i = alt_i
         hit.alt_j = alt_j
 
-        # rescoring along the MAC path (hhbacktracemac.cpp:186-254);
-        # the per-MM-step dot/log2/table lookups are batched through
-        # the vectorized fastmath twins (bit-identical elementwise),
-        # only the reference's SEQUENTIAL f32/f64 accumulators stay as
-        # O(path) python loops to preserve its rounding order
+        self._rescore_mac_path(q, t, hit, p_mm, corr)
+
+    def _rescore_mac_path(self, q, t, hit, p_mm, corr, P_post=None):
+        """Rescoring along the MAC path (hhbacktracemac.cpp:186-254);
+        the per-MM-step dot/log2/table lookups are batched through
+        the vectorized fastmath twins (bit-identical elementwise),
+        only the reference's SEQUENTIAL f32/f64 accumulators stay as
+        O(path) python loops to preserve its rounding order.
+
+        ``P_post`` (len nsteps+1, step-indexed) replaces the p_mm
+        gather when the posteriors were already collected on device.
+        """
+        nsteps = hit.nsteps
         S = np.zeros(nsteps + 1, dtype=np.float32)
         S_ss = np.zeros(nsteps + 1, dtype=np.float32)
-        P_post = np.zeros(nsteps + 1, dtype=np.float32)
+        if P_post is None:
+            P_post = np.zeros(nsteps + 1, dtype=np.float32)
+            gather_post = True
+        else:
+            P_post = np.asarray(P_post, dtype=np.float32)
+            gather_post = False
         ssm = hit.ssm1 + hit.ssm2
         mm_steps = np.nonzero(hit.states[1: nsteps + 1] == MM)[0] + 1
         if mm_steps.size:
@@ -634,7 +759,8 @@ class PosteriorDecoder:
                 S_ss[mm_steps] = (np.float64(self.ssw)
                                   * sv.astype(np.float64)).astype(
                                       np.float32)
-            P_post[mm_steps] = p_mm[si, sj]
+            if gather_post:
+                P_post[mm_steps] = p_mm[si, sj]
         score_ss = np.float32(0.0)
         for v in S_ss[mm_steps]:
             score_ss = np.float32(score_ss + v)
