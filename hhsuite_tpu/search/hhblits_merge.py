@@ -151,6 +151,12 @@ def merge_hits_to_query(par: Parameters, qali: Alignment, hitlist: HitList,
 
         if par.interim_filter and \
                 tali.N_filtered + qali.N_in >= par.maxseq:
+            # reference quirk (hhblits.cpp:865-868): Filter runs on X,
+            # and rows merged since the last Compress still carry the
+            # all-GAP X that MergeMasterSlave allocates (initX,
+            # hhalignment.cpp:70-76) - they score nres == 0, get
+            # keep[k] = 0 and are dropped by the Shrink
+            _pad_X_for_merged(qali)
             qali.N_filtered = qali.filter(par.max_seqid, mats.S, cov_tot,
                                           par.qid, par.qsc, par.Ndiff)
             _shrink(qali)
@@ -165,6 +171,25 @@ def merge_hits_to_query(par: Parameters, qali: Alignment, hitlist: HitList,
                             par.qid, par.qsc, par.nseqdis)
     qali.N_filtered = qali.filter(par.max_seqid, mats.S, cov_tot, par.qid,
                                   par.qsc, par.Ndiff)
+
+
+def _pad_X_for_merged(qali: Alignment):
+    """Extend X/I with all-GAP rows for sequences appended since the
+    last compress (the reference's initX fill, hhalignment.cpp:70-76),
+    so a filter over X sees them as residue-free."""
+    import numpy as np
+
+    from ..constants import GAP
+
+    rows = qali.X.shape[0]
+    if rows < qali.N_in:
+        pad = qali.N_in - rows
+        qali.X = np.concatenate(
+            [qali.X, np.full((pad, qali.X.shape[1]), GAP,
+                             dtype=qali.X.dtype)], axis=0)
+        qali.I = np.concatenate(
+            [qali.I, np.zeros((pad, qali.I.shape[1]),
+                              dtype=qali.I.dtype)], axis=0)
 
 
 def _shrink(qali: Alignment):
@@ -182,6 +207,11 @@ def _shrink(qali: Alignment):
     qali.seqs = [qali.seqs[k] for k in keep_idx]
     qali.keep = qali.keep[keep_idx]
     qali.display = qali.display[keep_idx]
+    if qali.X.shape[0] >= qali.N_in:
+        # keep X/I usable for a later interim filter, like the
+        # reference's Shrink which reindexes the X rows
+        qali.X = qali.X[keep_idx]
+        qali.I = qali.I[keep_idx]
     for attr in ("kss_dssp", "ksa_dssp", "kss_pred", "kss_conf", "kfirst"):
         old = getattr(qali, attr)
         setattr(qali, attr, remap.get(old, -1))
