@@ -49,6 +49,11 @@ def sharded_viterbi_topk(mesh, qp, qtr, tp, ttr, t_L, shift: float,
     nd = mesh.devices.size
     B = tp.shape[0]
     assert B % nd == 0, f"template batch {B} not divisible by {nd} devices"
+    # the Pallas lanes kernel runs per shard on TPU; the lax.scan
+    # kernel keeps the step portable (CPU dry-runs of the mesh path)
+    use_lanes = (local
+                 and all(d.platform == "tpu"
+                         for d in mesh.devices.reshape(-1)))
 
     spec_t = P(("q", "db"))
 
@@ -59,11 +64,18 @@ def sharded_viterbi_topk(mesh, qp, qtr, tp, ttr, t_L, shift: float,
         check_rep=False)
     def step(qp_, qtr_, tp_, ttr_, tL_):
         Bs = tp_.shape[0]
-        co = jnp.zeros((Bs, qp_.shape[0] - 1, tp_.shape[1] - 1),
-                       dtype=bool)
-        score, i2, j2, _bt = viterbi_batch(
-            qp_, qtr_, tp_, ttr_, co, tL_, shift, 0.0, 0.0, 0.0,
-            local=local, need_bt=False)
+        if use_lanes:
+            # per-device Pallas scoring sweep (the production kernel)
+            from ..ops.viterbi_lanes import viterbi_score_lanes
+
+            score = viterbi_score_lanes(qp_, qtr_, tp_, ttr_, tL_,
+                                        jnp.float32(shift))
+        else:
+            co = jnp.zeros((Bs, qp_.shape[0] - 1, tp_.shape[1] - 1),
+                           dtype=bool)
+            score, i2, j2, _bt = viterbi_batch(
+                qp_, qtr_, tp_, ttr_, co, tL_, shift, 0.0, 0.0, 0.0,
+                local=local, need_bt=False)
         # global merge: all_gather shard scores over both axes (ICI)
         alls = jax.lax.all_gather(score, "db", axis=0, tiled=True)
         alls = jax.lax.all_gather(alls, "q", axis=0, tiled=True)
