@@ -84,7 +84,20 @@ def insert_chr(c: str) -> str:
 
 def qsort_int(v: np.ndarray, k: List[int], left: int, right: int, up: int):
     """Reference quicksort (util.cpp:247-274) — identical element order,
-    including tie behavior, so greedy filters visit sequences identically."""
+    including tie behavior, so greedy filters visit sequences identically.
+    Dispatches to the C++ twin for large inputs (the permutation depends
+    only on the partition scheme, which both implement verbatim)."""
+    if right - left > 64:
+        from ..native import load as _load_native
+
+        nat = _load_native()
+        if nat is not None and hasattr(nat, "qsort_int"):
+            vv = np.ascontiguousarray(np.asarray(v, dtype=np.int32))
+            kk = np.array(k, dtype=np.int32)
+            out = nat.qsort_int(vv.tobytes(), kk.tobytes(),
+                                int(left), int(right), int(up))
+            k[:] = np.frombuffer(out, dtype=np.int32).tolist()
+            return
     stack = [(left, right)]
     while stack:
         lo, hi = stack.pop()
@@ -678,6 +691,16 @@ class Alignment:
         if seqid1 > seqid2:
             return nn
 
+        # accepted-set arrays for the vectorized pairwise check: row m
+        # holds the m-th sequence that entered the comparison set (in
+        # ksort order), plus an isaa cumsum row for windowed coverage
+        acc_rows = np.empty(N_in, dtype=np.int64)
+        acc_body = np.empty((N_in, L), dtype=body.dtype)
+        acc_isaa = np.empty((N_in, L), dtype=bool)
+        acc_cum = np.empty((N_in, L + 1), dtype=np.int32)
+        acc_first = np.empty(N_in, dtype=np.int32)
+        acc_last = np.empty(N_in, dtype=np.int32)
+
         seqid = seqid1
         seqid_step = 0
         diffNmax_prev = 0
@@ -700,18 +723,36 @@ class Alignment:
             if stop:
                 break
 
+            # the comparison set for candidate kk is every jj < kk with
+            # inkk[jj] != 0; it is rebuilt incrementally per seqid round
+            m = 0
+
+            def _acc_add(j):
+                nonlocal m
+                acc_rows[m] = j
+                acc_body[m] = body[j]
+                acc_isaa[m] = isaa[j]
+                acc_cum[m, 0] = 0
+                np.cumsum(isaa[j].astype(np.int32), out=acc_cum[m, 1:])
+                acc_first[m] = first[j]
+                acc_last[m] = last[j]
+                m += 1
+
             for kk in range(N_in):
                 if inkk[kk]:
+                    _acc_add(ksort[kk])
                     continue
                 k = ksort[kk]
                 if not keep[k]:
                     continue
                 if keep[k] == 2:
                     inkk[kk] = 2
+                    _acc_add(k)
                     continue
                 if seqid >= 100:
                     in_[k] = inkk[kk] = 1
                     n += 1
+                    _acc_add(k)
                     continue
                 seqidk = float(seqid1)
                 sl = idmaxwin[first[k]: last[k] + 1]
@@ -722,29 +763,43 @@ class Alignment:
                 seqid_prev[k] = seqid
                 diff_min_frac = 0.9999 - 0.01 * seqidk
 
-                accepted = False
+                # vectorized over the accepted set: same quantities as
+                # the reference's jj loop (hhalignment.cpp:1848-1928) —
+                # diff_suff from the window SPAN (int() truncation),
+                # cov_kj recounted as both-residue columns inside the
+                # window, diffv over the whole row
                 rejected = False
-                for jj in range(kk):
-                    if not inkk[jj]:
-                        continue
-                    j = ksort[jj]
-                    first_kj = max(first[k], first[j])
-                    last_kj = min(last[k], last[j])
-                    cov_kj = last_kj - first_kj + 1
-                    diff_suff = int(diff_min_frac * min(nres[k], cov_kj)
-                                    + 0.999)
-                    sl = slice(first_kj - 1, last_kj)
-                    bothaa = isaa[k, sl] & isaa[j, sl]
-                    cov_kj = int(bothaa.sum())
-                    diffv = int(((body[k] != body[j]) & isaa[k] & isaa[j])
-                                .sum())
-                    if diffv < diff_suff and diffv < diff_min_frac * cov_kj:
-                        rejected = True
-                        break
+                if m:
+                    fk, lk = int(first[k]), int(last[k])
+                    fj = np.maximum(fk, acc_first[:m])
+                    lj = np.minimum(lk, acc_last[:m])
+                    span = lj - fj + 1
+                    diff_suff = np.trunc(
+                        diff_min_frac * np.minimum(int(nres[k]), span)
+                        + 0.999)
+                    isaa_k = isaa[k]
+                    hi = np.maximum(lj, fj - 1)
+                    rows_m = np.arange(m)
+                    term1 = (acc_cum[rows_m, hi]
+                             - acc_cum[rows_m, fj - 1])
+                    gpos = np.nonzero(~isaa_k)[0]
+                    if gpos.size:
+                        inw = ((gpos[None, :] >= (fj - 1)[:, None])
+                               & (gpos[None, :] < lj[:, None]))
+                        term2 = (acc_isaa[:m][:, gpos] & inw).sum(axis=1)
+                        cov = term1 - term2
+                    else:
+                        cov = term1
+                    diffv = ((acc_body[:m] != body[k])
+                             & acc_isaa[:m] & isaa_k).sum(axis=1)
+                    rejected = bool(np.any(
+                        (diffv < diff_suff)
+                        & (diffv < diff_min_frac * cov)))
                 if not rejected:
                     in_[k] = inkk[kk] = 1
                     n += 1
                     Npos[first[k]: last[k] + 1] += 1
+                    _acc_add(k)
 
             seqid_step = max(1, min(5, diffNmax
                                     // (diffNmax_prev - diffNmax + 1)

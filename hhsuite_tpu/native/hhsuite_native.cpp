@@ -603,6 +603,50 @@ static PyObject *parse_hhm_body(PyObject *, PyObject *args) {
   return ret;
 }
 
+/* qsort_int(v: bytes i32, k: bytes i32, left, right, up) -> bytes i32
+ * The reference's quicksort (util.cpp:247-274): identical element
+ * order including tie behavior (partition scheme defines the result;
+ * greedy filters must visit sequences in exactly this order). */
+static void qsort_int_rec(const int32_t *v, int32_t *k, long left,
+                          long right, int up) {
+  std::vector<std::pair<long, long>> stack;
+  stack.emplace_back(left, right);
+  while (!stack.empty()) {
+    long lo = stack.back().first, hi = stack.back().second;
+    stack.pop_back();
+    if (lo >= hi) continue;
+    long mid = (lo + hi) / 2;
+    std::swap(k[lo], k[mid]);
+    long last = lo;
+    int32_t pivot = v[k[lo]];
+    if (up == 1) {
+      for (long i = lo + 1; i <= hi; i++)
+        if (v[k[i]] < pivot) std::swap(k[++last], k[i]);
+    } else {
+      for (long i = lo + 1; i <= hi; i++)
+        if (v[k[i]] > pivot) std::swap(k[++last], k[i]);
+    }
+    std::swap(k[lo], k[last]);
+    stack.emplace_back(lo, last - 1);
+    stack.emplace_back(last + 1, hi);
+  }
+}
+
+static PyObject *qsort_int_native(PyObject *, PyObject *args) {
+  const char *vb, *kb;
+  Py_ssize_t vn, kn;
+  long left, right, up;
+  if (!PyArg_ParseTuple(args, "y#y#lll", &vb, &vn, &kb, &kn, &left,
+                        &right, &up))
+    return nullptr;
+  PyObject *out = PyBytes_FromStringAndSize(kb, kn);
+  if (!out) return nullptr;
+  qsort_int_rec((const int32_t *)vb,
+                (int32_t *)PyBytes_AS_STRING(out), left, right,
+                (int)up);
+  return out;
+}
+
 static PyMethodDef Methods[] = {
     {"parse_index", parse_index, METH_VARARGS,
      "parse .ffindex text -> list[(name, offset, length)]"},
@@ -614,6 +658,8 @@ static PyMethodDef Methods[] = {
      "Forward/Backward/MAC posterior decoding hot loops"},
     {"parse_hhm_body", parse_hhm_body, METH_VARARGS,
      "parse HHM per-column records -> raw fixed-point int arrays"},
+    {"qsort_int", qsort_int_native, METH_VARARGS,
+     "reference QSortInt permutation (util.cpp:247-274)"},
     {nullptr, nullptr, 0, nullptr}};
 
 static struct PyModuleDef moduledef = {
