@@ -303,20 +303,24 @@ def cs_position_specific_weights(M: np.ndarray):
             wi = wi / s
         if ncoli < 10:
             wi = np.where(m, wg, 0.0)
-        # neff from subalignment entropy over ok columns
+        # neff from subalignment entropy over ok columns; all columns
+        # at once via a weighted bincount over (column, residue) pairs
         ne = 0.0
         if ncoli:
-            subw = np.where(m[None, :], wi[None, :], 0.0)
-            for i in np.nonzero(ok)[0]:
-                fj = np.zeros(20)
-                rows = M[i]
-                sel = m & (rows < CS_ANY)
-                np.add.at(fj, rows[sel], wi[sel])
-                tot = fj.sum()
-                if tot:
-                    fj /= tot
-                nz = fj > 1e-10
-                ne -= (fj[nz] * np.log2(fj[nz])).sum()
+            wsel = wi[m]                        # (nm,)
+            valid = sub < CS_ANY                # (L, nm)
+            codes = np.where(valid, sub, 20)
+            flatc = (arange[:, None] * 21 + codes).ravel()
+            wts = np.where(valid, wsel[None, :], 0.0).ravel()
+            fj_all = np.bincount(flatc, weights=wts,
+                                 minlength=L * 21).reshape(L, 21)[:, :20]
+            fj_all = fj_all[ok]
+            tot = fj_all.sum(axis=1, keepdims=True)
+            fj_all = np.divide(fj_all, tot, out=fj_all,
+                               where=tot > 0)
+            nz = fj_all > 1e-10
+            lg = np.where(nz, np.log2(fj_all, where=nz), 0.0)
+            ne = -(np.where(nz, fj_all * lg, 0.0)).sum()
         neff_pat[p] = 2.0 ** (ne / ncoli) if ncoli > 0 else 1.0
         w_pat[p] = wi
     # columns with empty membership: reference keeps previous wi/neff;

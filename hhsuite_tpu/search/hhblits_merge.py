@@ -41,19 +41,17 @@ def merge_master_slave(qali: Alignment, hit: Hit, tali: Alignment,
         ts = tali.seqs[k]    # '-' + sequence text
         out = ["-"] * (hit.i1 - 1)
 
-        # advance to match state hit.j1
-        j = 0
-        l = 1
-        while l < len(ts):
-            c = ts[l]
-            if c.isupper() or c == "-":
-                j += 1
-                if j == hit.j1:
-                    break
-            l += 1
-        if j < hit.j1:
+        # positions of match-state chars (uppercase or '-'), skipping
+        # the index-0 placeholder: replaces the reference's char-by-
+        # char advance loops with O(1) lookups
+        codes = np.frombuffer(ts.encode("latin-1"), dtype=np.uint8)
+        mpos = np.nonzero(((codes >= 65) & (codes <= 90))
+                          | (codes == 45))[0]
+        mpos = mpos[mpos >= 1]
+        if len(mpos) < hit.j2:
             raise ValueError(
                 f"did not find {hit.j1} match states in sequence {k}")
+        l = int(mpos[hit.j1 - 1])
 
         iprev = hit.i1
         lprev = l
@@ -61,9 +59,7 @@ def merge_master_slave(qali: Alignment, hit: Hit, tali: Alignment,
 
         for j in range(hit.j1 + 1, hit.j2 + 1):
             i = imatch[j]
-            l += 1
-            while l < len(ts) and (ts[l].islower() or ts[l] == "."):
-                l += 1
+            l = int(mpos[j - 1])
             di = i - iprev
             dl = l - lprev
             if di == 1:
