@@ -743,7 +743,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         print("usage: python -m hhsuite_tpu <tool> [options]\n"
               "tools: " + " ".join(sorted(COMMANDS)), file=sys.stderr)
         return 2
-    return COMMANDS[argv[0]](argv[1:])
+    from ..profiling import trace_if_enabled
+
+    with trace_if_enabled():
+        return COMMANDS[argv[0]](argv[1:])
 
 
 if __name__ == "__main__":

@@ -1,0 +1,55 @@
+"""JAX profiler hooks (SURVEY §5: the reference has no tracing beyond
+log statements — vestigial timing calls are commented out,
+src/hhalignment.cpp:2058,2109; the TPU build exposes the XLA profiler
+instead).
+
+Two affordances, both zero-cost when off:
+
+* ``HHSUITE_TPU_PROFILE=<dir>`` — every CLI tool run is wrapped in
+  ``jax.profiler.trace(dir)``; open the dump with TensorBoard or
+  ``xprof`` to see per-kernel device timelines (the lanes sweep, the
+  prefilter, the posterior batch all carry named annotations).
+* ``annotate(name)`` — a ``jax.profiler.TraceAnnotation`` context used
+  around the search funnel's stages so host phases (parsing, merge,
+  writers) and device phases line up in one timeline.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+
+
+def profile_dir() -> str | None:
+    d = os.environ.get("HHSUITE_TPU_PROFILE", "").strip()
+    return d or None
+
+
+@contextlib.contextmanager
+def trace_if_enabled():
+    """Wrap a whole tool invocation in jax.profiler.trace when
+    HHSUITE_TPU_PROFILE points at a dump directory."""
+    d = profile_dir()
+    if not d:
+        yield
+        return
+    import jax
+
+    os.makedirs(d, exist_ok=True)
+    with jax.profiler.trace(d):
+        yield
+
+
+@contextlib.contextmanager
+def annotate(name: str):
+    """Named host-side span visible in the profiler timeline.  Falls
+    back to a no-op if jax is unavailable (pure host tools)."""
+    try:
+        import jax
+
+        ctx = jax.profiler.TraceAnnotation(name)
+    except Exception:
+        yield
+        return
+    with ctx:
+        yield

@@ -294,8 +294,11 @@ def perform_realign(par: Parameters, q_realign: HMM, hitlist: HitList,
                     names.append(name)
             if not items:
                 break
-            decoder.realign_batch_device(q_realign, items, par.shift,
-                                         par.mact, par.corr)
+            from ..profiling import annotate
+
+            with annotate("posterior_mac_realign_batch"):
+                decoder.realign_batch_device(q_realign, items, par.shift,
+                                             par.mact, par.corr)
             for name, (hit, _t, _co) in zip(names, items):
                 to_excl[name].append(
                     MACBacktraceResult(hit.alt_i, hit.alt_j))

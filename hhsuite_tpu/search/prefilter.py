@@ -86,6 +86,8 @@ def prefilter_db(par: Parameters, q_tmp: HMM, lib: ContextLibrary,
 
     Returns (new_hits, old_hits) as (length, name) pairs in funnel order.
     """
+    from ..profiling import annotate
+
     previous_hit_names = previous_hit_names or set()
     qc = build_query_profile(q_tmp, lib, par.prefilter_score_offset,
                              par.prefilter_bit_factor).astype(np.int32)
@@ -104,8 +106,9 @@ def prefilter_db(par: Parameters, q_tmp: HMM, lib: ContextLibrary,
             stage1 = ungapped_scores_pallas
     except Exception:
         pass
-    raw1 = _bucketed(stage1, qc, seqs,
-                     np.int32(par.prefilter_score_offset))
+    with annotate("prefilter_stage1_ungapped"):
+        raw1 = _bucketed(stage1, qc, seqs,
+                         np.int32(par.prefilter_score_offset))
     lens = np.array([len(s) for s in seqs])
     corr = (par.prefilter_bit_factor
             * (log_qlen + fm.flog2(lens.astype(np.float32)))).astype(int)
@@ -128,10 +131,11 @@ def prefilter_db(par: Parameters, q_tmp: HMM, lib: ContextLibrary,
     # ---- stage 2: gapped SW ----
     gap_init = par.prefilter_gap_open + par.prefilter_gap_extend
     sub_seqs = [seqs[n] for n in survivors]
-    raw2 = _bucketed(ops.gapped_scores, qc, sub_seqs,
-                     np.int32(gap_init),
-                     np.int32(par.prefilter_gap_extend),
-                     np.int32(par.prefilter_score_offset))
+    with annotate("prefilter_stage2_gapped"):
+        raw2 = _bucketed(ops.gapped_scores, qc, sub_seqs,
+                         np.int32(gap_init),
+                         np.int32(par.prefilter_gap_extend),
+                         np.int32(par.prefilter_score_offset))
     evalues = []
     for pos, n in enumerate(survivors):
         ev = factor * lens[n] * float(fm.fpow2(

@@ -219,10 +219,12 @@ def _dispatch_kernel(qp, qtr, tp, ttr, cell_off, t_L, shift, egq, egt,
     otherwise."""
     if _on_tpu() and egq == 0.0 and egt == 0.0:
         from ..ops.viterbi_rows import viterbi_batch_rows
+        from ..profiling import annotate
 
-        return viterbi_batch_rows(
-            qp, qtr, tp, ttr, cell_off, t_L, np.float32(shift),
-            ss_score=ss_batch, local=local, tb=64)
+        with annotate("viterbi_backtrace_pass"):
+            return viterbi_batch_rows(
+                qp, qtr, tp, ttr, cell_off, t_L, np.float32(shift),
+                ss_score=ss_batch, local=local, tb=64)
     co = cell_off
     if co is None:
         co = np.zeros((tp.shape[0], qp.shape[0] - 1, tp.shape[1] - 1),
@@ -365,6 +367,7 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
     def _lanes_scores(junk) -> np.ndarray:
         """Score-only sweep with the template-lanes kernel."""
         from ..ops.viterbi_lanes import viterbi_score_lanes
+        from ..profiling import annotate
 
         interp = not _on_tpu()   # tests force the funnel on CPU
         scores = np.full(len(junk), -FLT_MAX, dtype=np.float32)
@@ -398,9 +401,10 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
             # for any query length now that the kernel row-panels its
             # VMEM state; Si streams as bfloat16 (ranking-only scores,
             # survivors are re-scored exactly by the backtrace pass)
-            sc = viterbi_score_lanes(qp_f, qtr_f, tp, ttr, t_L,
-                                     np.float32(par.shift),
-                                     interpret=interp, **kw)
+            with annotate("viterbi_lanes_sweep"):
+                sc = viterbi_score_lanes(qp_f, qtr_f, tp, ttr, t_L,
+                                         np.float32(par.shift),
+                                         interpret=interp, **kw)
             scores[s: s + len(idxs)] = np.asarray(sc)[: len(idxs)]
         return scores
 
