@@ -727,7 +727,10 @@ def _apply_platform_env():
     """Honor JAX_PLATFORMS even when a site plugin force-updates the jax
     config at interpreter startup (e.g. remote-TPU sitecustomize)."""
     want = os.environ.get("JAX_PLATFORMS")
-    if want and "," not in want:
+    # only standard backend names: experimental plugin platforms (e.g.
+    # remote-TPU tunnels) register under names jax.config rejects, and
+    # jax's own env handling already honors them at discovery time
+    if want in ("cpu", "tpu", "gpu", "cuda", "rocm"):
         try:
             import jax
 
