@@ -223,9 +223,3 @@ class HMM:
                     e -= v * np.log2(v)
             s += 2.0 ** e
         return s / self.L
-
-
-def neutralize_tags(seq_text: str, X: np.ndarray, first_row: int = 0):
-    """His/FLAG/myc tag neutralization (hhhmm.cpp NeutralizeTags) is applied
-    on query sequences; implemented where queries are read."""
-    raise NotImplementedError

@@ -1,10 +1,10 @@
 """Row-sweep Pallas Viterbi: lanes = template positions, one step per
 query row.
 
-The wavefront kernels (viterbi_pallas / viterbi_pallas2) advance one
-anti-diagonal per step, so every step does a handful of (8, Wp) vector
-ops plus ~15 `pltpu.roll`s — the rolls dominate and cap throughput
-around 2.5 GCUPS.  This kernel instead sweeps query rows: each grid step
+Anti-diagonal wavefront kernels (tried first) advance one diagonal per
+step, so every step does a handful of (8, Wp) vector ops plus ~15
+`pltpu.roll`s — the rolls dominate and cap throughput around 2.5 GCUPS.
+This kernel instead sweeps query rows: each grid step
 computes a FULL row of cells (TB × Lt lanes) with wide element-wise ops.
 
 The cross-row recurrences (MM/DG/MI from row i-1, hhviterbialgorithm.cpp
