@@ -217,47 +217,103 @@ def cmd_hhconsensus(argv: List[str]) -> int:
 
 
 def cmd_cstranslate(argv: List[str]) -> int:
-    """cstranslate -i <ffindex base|a3m> -o <out base> [-f] [-b] -I a3m."""
-    from ..cs.context_lib import ContextLibrary, cstranslate_a3m
+    """cstranslate -i <in> -o <out> [-f] [-I a3m|ca3m] [-x admix] [-c ali]
+    [-A alphabet.lib] [-D context.lib|.crf] [-w weight].
+
+    Parity: CSTranslateApp (src/cs/cstranslate_app.h:365-390 ParseOptions;
+    defaults Init():58-73: pc_admix=0.90, pc_ali=12.0, weight_as=1000,
+    modelfile=alphabetfile="internal").  ``-b`` is accepted and ignored —
+    the reference's getopt_pp parser has no 'b' option either, so
+    ``data/test.sh:30-33``'s ``-b`` is a no-op there too.
+    """
+    from ..cs.context_lib import (ContextLibrary, cstranslate_a3m,
+                                  default_pc_engine)
     from ..io.ffindex import FFindexDatabase, FFindexWriter
 
     infile = outfile = None
     ffmode = False
     alphabet = None
+    modelfile = "internal"
+    informat = "auto"
+    pc_admix, pc_ali = 0.90, 12.0
+    weight_as = 1000.0
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a == "-i":
+        if a in ("-i", "--infile"):
             i += 1
             infile = argv[i]
-        elif a == "-o":
+        elif a in ("-o", "--outfile"):
             i += 1
             outfile = argv[i]
-        elif a == "-A":
+        elif a in ("-A", "--alphabet"):
             i += 1
             alphabet = argv[i]
+        elif a in ("-D", "--context-data"):
+            i += 1
+            modelfile = argv[i]
+        elif a in ("-x", "--pc-admix"):
+            i += 1
+            pc_admix = float(argv[i])
+        elif a in ("-c", "--pc-ali"):
+            i += 1
+            pc_ali = float(argv[i])
+        elif a in ("-w", "--weight"):
+            i += 1
+            weight_as = float(argv[i])
+        elif a in ("-I", "--informat"):
+            i += 1
+            informat = argv[i]
         elif a in ("-f", "--ffindex"):
             ffmode = True
-        elif a in ("-b", "-I", "-x", "-c", "-D"):
-            if a in ("-I", "-x", "-c", "-D"):
-                i += 1
+        elif a in ("-v", "--verbose", "-O", "--outformat", "-M",
+                   "--match-assign", "-a", "--appendfile"):
+            i += 1
         i += 1
     if not infile or not outfile:
         print("cstranslate -i <in> -o <out> [-f]", file=sys.stderr)
         return 4
-    if alphabet:
+    if alphabet and alphabet != "internal":
         with open(alphabet) as f:
             lib = ContextLibrary.from_text(f.read())
     else:
         lib = ContextLibrary.default_cs219()
+    pc_engine = None
+    if modelfile:
+        pc_engine = default_pc_engine(
+            None if modelfile == "internal" else modelfile)
+
+    def translate(text: str) -> bytes:
+        return cstranslate_a3m(text, lib, w_center=weight_as,
+                               pc_engine=pc_engine, pc_admix=pc_admix,
+                               pc_ali=pc_ali)
+
     if ffmode:
-        src = FFindexDatabase(infile + ".ffdata", infile + ".ffindex")
-        with FFindexWriter(outfile + ".ffdata", outfile + ".ffindex") as w:
-            for name, data in src.items():
-                w.add(name, cstranslate_a3m(data.decode(), lib))
+        if informat == "ca3m":
+            # ca3m triplet input (cstranslate_app.h:214-241): -i is the
+            # base path; entries are decompressed before translation
+            from ..io.ca3m import extract_a3m
+
+            src = FFindexDatabase(infile + "_ca3m.ffdata",
+                                  infile + "_ca3m.ffindex")
+            seq_db = FFindexDatabase(infile + "_sequence.ffdata",
+                                     infile + "_sequence.ffindex")
+            hdr_db = FFindexDatabase(infile + "_header.ffdata",
+                                     infile + "_header.ffindex")
+            with FFindexWriter(outfile + ".ffdata",
+                               outfile + ".ffindex") as w:
+                for name, data in src.items():
+                    a3m = extract_a3m(data, seq_db, hdr_db)
+                    w.add(name, translate(a3m))
+        else:
+            src = FFindexDatabase(infile + ".ffdata", infile + ".ffindex")
+            with FFindexWriter(outfile + ".ffdata",
+                               outfile + ".ffindex") as w:
+                for name, data in src.items():
+                    w.add(name, translate(data.decode()))
     else:
         with open(infile) as f:
-            seq = cstranslate_a3m(f.read(), lib)
+            seq = translate(f.read())
         with open(outfile, "wb") as f:
             f.write(seq)
     return 0

@@ -370,11 +370,51 @@ def count_profile_from_a3m(text: str, pos_weights: bool = True):
 
 
 def cstranslate_a3m(text: str, lib: Optional[ContextLibrary] = None,
-                    w_center: float = 1000.0) -> bytes:
-    """cstranslate -i <a3m> -x 0: a3m -> AS219 byte sequence
-    (src/cs/cstranslate_app.h:126-163 ffindex path, no pseudocounts)."""
+                    w_center: float = 1000.0, pc_engine=None,
+                    pc_admix: float = 0.9, pc_ali: float = 12.0) -> bytes:
+    """cstranslate -i <a3m>: a3m -> AS219 byte sequence
+    (src/cs/cstranslate_app.h:126-163 ffindex path).
+
+    With ``pc_engine`` (a Crf/LibraryPseudocounts engine), applies
+    context-specific pseudocounts with CSBlastAdmix(pc_admix, pc_ali)
+    and renormalizes the count profile to Neff before translation,
+    exactly like ReadProfile (src/cs/cstranslate_app.h:561-597:
+    ``counts = AddTo(profile, admix); Normalize(counts, neff)``).
+    """
     if lib is None:
         lib = ContextLibrary.default_cs219()
     counts, neff, _ = count_profile_from_a3m(text)
+    if pc_engine is not None:
+        from .pseudocounts import CSBlastAdmix, add_to_profile
+
+        admix = CSBlastAdmix(pc_admix, pc_ali)
+        safe_neff = np.where(neff > 0, neff, 1.0)
+        p = add_to_profile(pc_engine, counts, safe_neff, admix)
+        counts = p * neff[:, None]
     states = translate_to_states(counts, lib, w_center=w_center)
     return bytes(states.tolist())
+
+
+def default_pc_engine(modelfile: Optional[str] = None,
+                      weight_center: float = 1.6,
+                      weight_decay: float = 0.85):
+    """Build the cstranslate pseudocount engine (SetupPseudocountEngine,
+    src/cs/cstranslate_app.h:434-470).
+
+    ``modelfile=None`` is the reference's ``internal`` default: the
+    embedded ``context_data.lib`` resource.  The reference build this
+    framework is tested against embeds the cs219 library content there
+    (the upstream checkout ships no separate context_data.lib), so the
+    internal engine is a wlen-1 LibraryPseudocounts over cs219.lib.
+    A ``.crf`` path selects the CRF engine instead.
+    """
+    from .pseudocounts import Crf, CrfPseudocounts, LibraryPseudocounts
+
+    if modelfile is None:
+        return LibraryPseudocounts(ContextLibrary.default_cs219(),
+                                   weight_center, weight_decay)
+    if modelfile.endswith(".crf"):
+        return CrfPseudocounts(Crf.from_file(modelfile))
+    with open(modelfile) as f:
+        plib = ContextLibrary.from_text(f.read())
+    return LibraryPseudocounts(plib, weight_center, weight_decay)

@@ -9,10 +9,11 @@ passes (duplicates, unsorted index, missing entries, overhead entries;
 scripts/hhsuitedb.py:204-430).
 
 Differences from the reference pipeline: per-entry work is fanned out
-with a local process pool instead of MPI (ffindex_apply_mpi), and
-cs219 translation uses the verified no-context path (-x 0; the
-context-admixture variant needs data/context_data.lib, which ships with
-full releases only).
+with a local process pool instead of MPI (ffindex_apply_mpi).  cs219
+translation applies context pseudocounts ``-x 0.3 -c 4`` exactly like
+scripts/hhsuitedb.py:113 / data/test.sh:30-33; the internal pseudocount
+model is the cs219 library (matching the reference build, whose embedded
+context_data.lib resource carries the cs219.lib content).
 """
 
 from __future__ import annotations
@@ -30,9 +31,10 @@ def _worker_init():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    from ..cs.context_lib import ContextLibrary
+    from ..cs.context_lib import ContextLibrary, default_pc_engine
 
     _WORKER_STATE["lib"] = ContextLibrary.default_cs219()
+    _WORKER_STATE["pc"] = default_pc_engine()
 
 
 def _entry_jobs(name_text: Tuple[str, str, bool]):
@@ -44,7 +46,9 @@ def _entry_jobs(name_text: Tuple[str, str, bool]):
     if lib is None:
         _worker_init()
         lib = _WORKER_STATE["lib"]
-    cs = cstranslate_a3m(text, lib)
+    # cstranslate -x 0.3 -c 4 (scripts/hhsuitedb.py:113)
+    cs = cstranslate_a3m(text, lib, pc_engine=_WORKER_STATE["pc"],
+                         pc_admix=0.3, pc_ali=4.0)
     hhm = None
     if want_hhm:
         from ..apps import hhmake

@@ -18,12 +18,28 @@ FIX = os.path.join(os.path.dirname(__file__), "fixtures")
 
 
 def test_cstranslate_byte_identical():
+    """cstranslate -x 0.3 -c 4 (the data/test.sh:30-33 flags) matches the
+    reference binary byte for byte."""
+    from hhsuite_tpu.cs.context_lib import default_pc_engine
+
     golden = FFindexDatabase(f"{FIX}/golden_single_cs219.ffdata",
                              f"{FIX}/golden_single_cs219.ffindex")
     with open(f"{FIX}/query.a3m") as f:
-        got = cstranslate_a3m(f.read())
+        got = cstranslate_a3m(f.read(), pc_engine=default_pc_engine(),
+                              pc_admix=0.3, pc_ali=4.0)
     want = golden.read_bytes(golden.entries[0].name)
     assert got == want
+
+
+def test_cstranslate_nopc_byte_identical():
+    """cstranslate -x 0 (pseudocounts admixed with tau=0) equals the
+    plain no-pseudocount translation and the reference's -x 0 output."""
+    golden = FFindexDatabase(f"{FIX}/golden_single_cs219_nopc.ffdata",
+                             f"{FIX}/golden_single_cs219_nopc.ffindex")
+    with open(f"{FIX}/query.a3m") as f:
+        text = f.read()
+    want = golden.read_bytes(golden.entries[0].name)
+    assert cstranslate_a3m(text) == want
 
 
 @pytest.fixture(scope="module")
