@@ -17,6 +17,8 @@ from typing import List, Optional
 
 import numpy as np
 
+_TRACE_FILTER = bool(os.environ.get("HHSUITE_TPU_TRACE_FILTER"))
+
 from ..constants import (ANY, ENDGAP, GAP, NAA, PLTY_GAPEXTD, PLTY_GAPOPEN,
                          aa2i)
 
@@ -385,6 +387,18 @@ class Alignment:
         X = np.full((N, L + 2), GAP, dtype=np.int8)
         X[:, 0] = ANY
         I = np.zeros((N, L + 1), dtype=np.int32)
+        # persistent-X semantics (hhalignment.cpp:929-932 `if (keep[k])`):
+        # the reference never clears X rows of filtered-out sequences, so
+        # a later Filter2/FilterForDisplay still sees their residues
+        # (nres, ksort tie order).  Carry the old rows over.
+        if self.X is not None:
+            ncopy = min(self.X.shape[0], N)
+            wcopy = min(self.X.shape[1], L + 2)
+            rows = [k for k in range(ncopy) if k not in cols]
+            if rows:
+                X[rows, :wcopy] = self.X[rows, :wcopy]
+                wI = min(self.I.shape[1], L + 1)
+                I[rows, :wI] = self.I[rows, :wI]
         for k, (arr, is_low, nmatch) in cols.items():
             mpos = np.nonzero(~is_low)[0]
             codes = arr[mpos].astype(np.int64)
@@ -634,6 +648,19 @@ class Alignment:
         ksort = self.ksort
         WFIL = 25
 
+        if _TRACE_FILTER:
+            import sys as _sys
+            print(f"F2BEGIN\t{N_in}\t{L}\t{coverage}\t{qid}\t{seqid1}"
+                  f"\t{seqid2}\t{Ndiff}", file=_sys.stderr)
+            print("F2KEEP" + "".join(str(int(x)) for x in
+                                     np.asarray(keep)[:N_in]),
+                  file=_sys.stderr)
+
+        if _TRACE_FILTER:
+            import sys as _sys
+            print("F2KSORT " + " ".join(f"{k}:{int(nres[k])}"
+                                        for k in ksort), file=_sys.stderr)
+
         in_ = np.zeros(N_in, dtype=np.int8)
         n = 0
         for k in range(N_in):
@@ -792,9 +819,20 @@ class Alignment:
                         cov = term1
                     diffv = ((acc_body[:m] != body[k])
                              & acc_isaa[:m] & isaa_k).sum(axis=1)
-                    rejected = bool(np.any(
-                        (diffv < diff_suff)
-                        & (diffv < diff_min_frac * cov)))
+                    rejmask = ((diffv < diff_suff)
+                               & (diffv < diff_min_frac * cov))
+                    rejected = bool(np.any(rejmask))
+                    if _TRACE_FILTER and rejected:
+                        ridx = int(np.nonzero(rejmask)[0][0])
+                        import sys as _sys
+                        print(f"F2REJ\t{seqid}\t{k}\t"
+                              f"{int(acc_rows[ridx])}\t{int(diffv[ridx])}"
+                              f"\t{int(diff_suff[ridx])}\t{int(cov[ridx])}"
+                              f"\t{diff_min_frac:.6f}", file=_sys.stderr)
+                if _TRACE_FILTER:
+                    import sys as _sys
+                    print(f"F2DEC\t{seqid}\t{kk}\t{k}\t{int(not rejected)}",
+                          file=_sys.stderr)
                 if not rejected:
                     in_[k] = inkk[kk] = 1
                     n += 1

@@ -353,7 +353,8 @@ def premerge_hits(par: Parameters, q_re: HMM, qali, hitlist: HitList,
                   get_template, db, mats: SubstitutionMatrix,
                   ss: Optional[SecStrucMatrices],
                   previous_hits, premerged_hits,
-                  min_col_realign: int = MINCOLS_REALIGN):
+                  min_col_realign: int = MINCOLS_REALIGN,
+                  qali_allseqs=None):
     """HHblits::premerge (hhblits.cpp:1984-2066): MAC-realign the top
     ``par.premerge`` hits one at a time against the current query profile,
     merge each realigned hit into the query MSA, and rebuild the
@@ -406,7 +407,8 @@ def premerge_hits(par: Parameters, q_re: HMM, qali, hitlist: HitList,
         single = HitList()
         single.extend([hit])
         merge_hits_to_query(par, qali, single, previous_hits, db, mats,
-                            min_col_realign, premerged_hits)
+                            min_col_realign, premerged_hits,
+                            qali_allseqs=qali_allseqs)
         premerged_hits.add(f"{hit.file}__{hit.irep}")
 
         # rebuild q from the merged MSA with prefilter pseudocounts

@@ -26,6 +26,62 @@ from .query import (prepare_query_hmm, prepare_template_hmm,
 from .viterbi_search import viterbi_search
 
 
+def rescore_previous_hits(par: Parameters, q: HMM, db: HHDatabase,
+                          mats, ss, previous_hits: Dict[str, Hit],
+                          hitlist: HitList):
+    """HHblits::RescoreWithViterbiKeepAlignment (hhblits.cpp:911-968).
+
+    Runs a full Viterbi pass on the templates of all previously found
+    irep-1 hits against the current query profile, then pushes the OLD
+    hit objects (alignments preserved) with the NEW scores into the
+    hitlist; the hash entry is replaced by the fresh hit.  P-values and
+    composite E-values are then recomputed for the whole list.
+    """
+    from .query import prepare_template_hmm
+
+    entry_names: List[str] = []
+    seen = set()
+    for hit in previous_hits.values():
+        if hit.irep == 1 and hit.entry not in seen:
+            seen.add(hit.entry)
+            entry_names.append(str(hit.entry))
+    if not entry_names:
+        return
+
+    templates = []
+    for name in entry_names:
+        t, fmt = db.get_template_hmm(name, par, mats,
+                                     use_global_weights=1)
+        prepare_template_hmm(par, q, t, mats, fmt)
+        templates.append((name, t))
+
+    hits_to_add = viterbi_search(par, q, templates, ss_matrices=ss)
+    for h in hits_to_add:
+        key = f"{h.file}__{h.irep}"
+        hit_cur = previous_hits.get(key)
+        if hit_cur is None:
+            continue
+        previous_hits[key] = h
+        hit_cur.score = h.score
+        hit_cur.score_aass = h.score_aass
+        hit_cur.score_ss = h.score_ss
+        hit_cur.Pval = h.Pval
+        hit_cur.Pvalt = h.Pvalt
+        hit_cur.logPval = h.logPval
+        hit_cur.logPvalt = h.logPvalt
+        hit_cur.Eval = h.Eval
+        hit_cur.logEval = h.logEval
+        hit_cur.Probab = h.Probab
+        hitlist.hits.append(hit_cur)
+
+    hitlist.sort()
+    hitlist.calculate_pvalues(q, par.loc, par.ssm, par.ssw)
+    if par.prefilter:
+        hitlist.calculate_hhblits_evalues(
+            q, par.dbsize, par.alphaa, par.alphab, par.alphac,
+            par.prefilter_evalue_thresh)
+
+
 def run_hhblits(par: Parameters, query_text: str, db: HHDatabase,
                 query_name: str = "query",
                 lib: Optional[ContextLibrary] = None):
@@ -48,8 +104,13 @@ def run_hhblits(par: Parameters, query_text: str, db: HHDatabase,
     cs_names = [e.name for e in db.cs219.entries]
     cs_seqs = [db.cs219.read_bytes(e) for e in db.cs219.entries]
 
-    previous_hits: Set[str] = set()
+    # previous_hits maps "file__irep" -> the Hit found in an earlier
+    # round (the reference's Hash<Hit>* previous_hits, hhblits.cpp:1071)
+    previous_hits: Dict[str, Hit] = {}
     premerged_hits: Set[str] = set()
+    # -all/-nodiff: unfiltered copy of the growing alignment
+    # (hhblits.cpp:860-862, writers :1846-1860)
+    qali_allseqs = copy.deepcopy(qali) if par.allseqs else None
     hitlist = HitList()
     search_counter: Set[str] = set()
     alis: Dict[int, object] = {}     # per-round MSAs for -oalis
@@ -83,8 +144,10 @@ def run_hhblits(par: Parameters, query_text: str, db: HHDatabase,
             new_pairs, old_pairs = prefilter_db(
                 par, q_tmp, lib, cs_names, cs_seqs, previous_hits)
             entry_names = [name for (_l, name) in new_pairs]
+            old_entry_names = [name for (_l, name) in old_pairs]
         else:
             entry_names = [e.name for e in db.cs219.entries]
+            old_entry_names = []
 
         search_counter.update(entry_names)
         hitlist.N_searched = len(search_counter)
@@ -109,6 +172,34 @@ def run_hhblits(par: Parameters, query_text: str, db: HHDatabase,
 
         new_hits = sum(1 for h in hitlist if h.Eval <= par.e)
 
+        # old-hit handling on the final round (hhblits.cpp:1236-1263):
+        # either fully re-search the previously found templates that
+        # re-passed the prefilter (-realign_old_hits), or rescore all
+        # previous hits keeping their alignments
+        if new_hits == 0 or round_no == par.num_rounds:
+            if old_entry_names and par.realign_old_hits:
+                hhlog.info("Rescoring previously found HMMs with "
+                           "Viterbi algorithm")
+                old_templates = []
+                for name in old_entry_names:
+                    t, fmt = db.get_template_hmm(name, par, mats,
+                                                 use_global_weights=1)
+                    prepare_template_hmm(par, q, t, mats, fmt)
+                    old_templates.append((name, t))
+                hitlist.extend(viterbi_search(par, q, old_templates,
+                                              ss_matrices=ss))
+                hitlist.sort()
+                hitlist.calculate_pvalues(q, par.loc, par.ssm, par.ssw)
+                if par.prefilter:
+                    hitlist.calculate_hhblits_evalues(
+                        q, par.dbsize, par.alphaa, par.alphab,
+                        par.alphac, par.prefilter_evalue_thresh)
+            elif not par.realign_old_hits and previous_hits:
+                hhlog.info("Rescoring previously found HMMs with "
+                           "Viterbi algorithm")
+                rescore_previous_hits(par, q, db, mats, ss,
+                                      previous_hits, hitlist)
+
         q_re = copy.deepcopy(q)
 
         def get_template(entry):
@@ -123,7 +214,7 @@ def run_hhblits(par: Parameters, query_text: str, db: HHDatabase,
 
             premerge_hits(par, q_re, qali, hitlist, get_template, db,
                           mats, ss, previous_hits, premerged_hits,
-                          MINCOLS_REALIGN)
+                          MINCOLS_REALIGN, qali_allseqs=qali_allseqs)
         if par.realign:
             perform_realign(par, q_re, hitlist, get_template, mats, ss,
                             MINCOLS_REALIGN)
@@ -137,7 +228,8 @@ def run_hhblits(par: Parameters, query_text: str, db: HHDatabase,
         if merge_cond:
             if new_hits > 0:
                 merge_hits_to_query(par, qali, hitlist, previous_hits, db,
-                                    mats, MINCOLS_REALIGN, premerged_hits)
+                                    mats, MINCOLS_REALIGN, premerged_hits,
+                                    qali_allseqs=qali_allseqs)
             qnew = HMM()
             frequencies_and_transitions(qali, qnew, par.wg, par.mark,
                                         par.cons, par.showcons, mats.pb,
@@ -145,7 +237,8 @@ def run_hhblits(par: Parameters, query_text: str, db: HHDatabase,
             if par.notags:
                 neutralize_tags(qnew, mats.pb)
             if par.alisbasename:
-                alis[round_no] = copy.deepcopy(qali)
+                alis[round_no] = copy.deepcopy(
+                    qali_allseqs if par.allseqs else qali)
         else:
             qnew = q
 
@@ -156,12 +249,16 @@ def run_hhblits(par: Parameters, query_text: str, db: HHDatabase,
             break
         q = qnew
 
-        # record good hits as seen
+        # record good hits as seen (hhblits.cpp:1375-1390): store the
+        # whole Hit so the final round can rescore it keeping alignments
         for h in hitlist:
-            if par.already_seen_filter and h.Eval <= par.e:
-                base = h.file
-                previous_hits.add(f"{base}__{h.irep}")
+            key = f"{h.file}__{h.irep}"
+            if par.already_seen_filter and h.Eval <= par.e \
+                    and key not in previous_hits:
+                previous_hits[key] = h
         hitlist = HitList()
 
     q.alis = alis
-    return q, hitlist, qali
+    # -all: the a3m/psi writers see the unfiltered alignment
+    # (hhblits.cpp:1846-1874)
+    return q, hitlist, (qali_allseqs if par.allseqs else qali)

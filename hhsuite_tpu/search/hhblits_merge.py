@@ -109,8 +109,15 @@ def merge_master_slave(qali: Alignment, hit: Hit, tali: Alignment,
 def merge_hits_to_query(par: Parameters, qali: Alignment, hitlist: HitList,
                         previous_hits: Set[str], db, mats,
                         min_col_realign: int = MINCOLS_REALIGN,
-                        premerged_hits: Optional[Set[str]] = None):
-    """HHblits::mergeHitsToQuery (hhblits.cpp:820-888)."""
+                        premerged_hits: Optional[Set[str]] = None,
+                        qali_allseqs: Optional[Alignment] = None):
+    """HHblits::mergeHitsToQuery (hhblits.cpp:820-888).
+
+    With ``qali_allseqs`` (-all/-nodiff), every hit's template MSA is
+    additionally merged UNFILTERED into that copy before the per-template
+    filter runs (hhblits.cpp:860-862), so the output MSA keeps all
+    sequences while the profile is still built from the filtered Qali.
+    """
     from .engine import template_hmm_from_text
 
     COV_ABS = 25
@@ -141,6 +148,9 @@ def merge_hits_to_query(par: Parameters, qali: Alignment, hitlist: HitList,
                                            nseqdis=par.nseqdis)
         tali.compress(M=par.M_template, Mgaps=par.Mgaps,
                       maxres=par.maxres)
+        if qali_allseqs is not None:
+            merge_master_slave(qali_allseqs, hit, tali, par.maxcol,
+                               par.maxseq)
         tali.N_filtered = tali.filter(par.max_seqid_db, mats.S,
                                       par.coverage_db, par.qid_db,
                                       par.qsc_db, par.Ndiff_db)
