@@ -99,15 +99,48 @@ _VALUE_FLAGS = {
     "-template_excl": ("template_exclstr", str),
     "-premerge": ("premerge", _i),
     "-mark": ("mark_flag", None),
+    # E-value calibration (hhblits.cpp:704-711)
+    "-alphaa": ("alphaa", _f),
+    "-alphab": ("alphab", _f),
+    "-alphac": ("alphac", _f),
+    # prefilter tuning (hhblits.cpp:719-730)
+    "-prepre_smax_thresh": ("preprefilter_smax_thresh", _i),
+    "-pre_bitfactor": ("prefilter_bit_factor", _i),
+    "-pre_gap_open": ("prefilter_gap_open", _i),
+    "-pre_gap_extend": ("prefilter_gap_extend", _i),
+    "-pre_score_offset": ("prefilter_score_offset", _i),
+    # end-gap penalties (hhblits.cpp:699-702)
+    "-egq": ("egq", _f),
+    "-egt": ("egt", _f),
+    "-ssa": ("ssa", _f),
+    "-sc": ("columnscore", _i),
+    "-mapt": ("mact", _f),
+    "-ovlp": ("min_overlap", _i),
+    "-csb": ("csb", _f),
+    "-csw": ("csw", _f),
+    "-context_data": ("clusterfile", str),      # alias (hhblits.cpp:442)
+    "-cs_lib": ("cs_library", str),             # alias (hhblits.cpp:449)
+    "-pc_prefilter_nocontxt_mode": ("pc_prefilter_nocontext_mode", _i),
+    "-pc_prefilter_nocontxt_a": ("pc_prefilter_nocontext_a", _f),
+    "-pc_prefilter_nocontxt_b": ("pc_prefilter_nocontext_b", _f),
+    "-pc_prefilter_nocontxt_c": ("pc_prefilter_nocontext_c", _f),
+    # TPU-native extension: shard the template/DB axis over the first N
+    # local devices (default: all devices when more than one)
+    "-mesh": ("mesh_devices", _i),
 }
 
 _BOOL_FLAGS = {
     "-nocontxt": ("nocontxt", True),
     "-filter_matrices": ("filter_matrices", True),
-    "-glob": ("loc", 0),
-    "-global": ("loc", 0),
     "-loc": ("loc", 1),
     "-local": ("loc", 1),
+    "-wg": ("wg", 1),
+    "-hide_cons": ("showcons", 0),
+    "-hide_pred": ("showpred", 0),
+    "-hide_dssp": ("showdssp", 0),
+    "-show_ssconf": ("showconf", 1),
+    "-all": ("allseqs", True),
+    "-nodiff": ("allseqs", True),
     "-norealign": ("realign", 0),
     "-realign": ("realign", 1),
     "-notags": ("notags", 1),
@@ -120,7 +153,26 @@ _BOOL_FLAGS = {
     "-allseqs": ("allseqs", True),
     "-realign_old_hits": ("realign_old_hits", True),
     "-append": ("append", 1),
+    "-nomesh": ("mesh_devices", -1),
 }
+
+
+def activate_mesh(par) -> None:
+    """Install the device mesh for the production search path: -mesh N
+    shards over the first N devices, -nomesh disables, default uses all
+    local devices when more than one is attached."""
+    from ..parallel.mesh import auto_mesh, make_mesh, set_mesh
+
+    n = getattr(par, "mesh_devices", 0)
+    if n == -1:
+        set_mesh(None)
+        return
+    if n > 1:
+        set_mesh(make_mesh(n))
+    else:
+        mesh = auto_mesh()
+        if mesh is not None:
+            set_mesh(mesh)
 
 
 def parse_args(argv: List[str], par: Parameters) -> Parameters:
@@ -151,6 +203,40 @@ def parse_args(argv: List[str], par: Parameters) -> Parameters:
             else:
                 par.M = 2
                 par.Mgaps = int(v)
+        elif a in ("-glob", "-global"):
+            # -glob resets a still-default mact to 0 (hhblits.cpp:712-717)
+            par.loc = 0
+            if 0.35 < par.mact < 0.3502:
+                par.mact = 0.0
+        elif a == "-noprefilt":
+            # disables both the prefilter and the already-seen filter
+            # (hhblits.cpp:712-714)
+            par.prefilter = False
+            par.already_seen_filter = False
+        elif a == "-scwin":
+            # local aa background column score (hhblits.cpp:767-770)
+            i += 1
+            par.columnscore = 5
+            par.half_window_size_local_aa_bg_freqs = max(1, int(argv[i]))
+        elif a == "-interim_filter":
+            # NONE|FULL (hhblits.cpp:796-812)
+            i += 1
+            v = argv[i] if i < len(argv) else ""
+            if v == "NONE":
+                par.interim_filter = 0
+            elif v == "FULL":
+                par.interim_filter = 1
+            else:
+                print("ERROR: no state out of NONE|FULL following "
+                      "-interim_filter", file=sys.stderr)
+                raise SystemExit(4)
+        elif a.startswith("-BLOSUM") or a.startswith("-Blosum"):
+            # matrix selectors (hhblits.cpp:569-584)
+            if a[7:] in ("30", "40", "50", "62", "65", "80"):
+                par.matrix = int(a[7:])
+            else:
+                print(f"WARNING: ignoring unknown option {a}",
+                      file=sys.stderr)
         elif a in _BOOL_FLAGS:
             attr, val = _BOOL_FLAGS[a]
             setattr(par, attr, val)

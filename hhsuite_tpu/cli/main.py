@@ -15,7 +15,7 @@ import sys
 from typing import List, Optional
 
 from ..constants import Parameters
-from .args import parse_args
+from .args import activate_mesh, parse_args
 
 
 def _read_infile(par) -> str:
@@ -95,6 +95,7 @@ def cmd_hhblits(argv: List[str]) -> int:
 
     par = Parameters.hhblits_defaults()
     parse_args(argv, par)
+    activate_mesh(par)
     if not par.infile or not par.db_bases:
         print("hhblits -i <query a3m/hhm> -d <db basename> "
               "[-o out.hhr] [-blasttab f] [-oa3m f] [-n rounds] ...",
@@ -116,6 +117,7 @@ def cmd_hhsearch(argv: List[str]) -> int:
 
     par = Parameters.hhsearch_defaults()
     parse_args(argv, par)
+    activate_mesh(par)
     if not par.infile or not par.db_bases:
         print("hhsearch -i <query> -d <db basename> [-o out.hhr] ...",
               file=sys.stderr)

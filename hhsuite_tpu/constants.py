@@ -233,6 +233,8 @@ class Parameters:
     num_rounds: int = 2
     already_seen_filter: bool = True
     realign_old_hits: bool = False
+    # TPU-native extension: -mesh N / -nomesh (0 = auto)
+    mesh_devices: int = 0
     neffmax: float = 20.0
     threads: int = 2
     interim_filter: int = 1

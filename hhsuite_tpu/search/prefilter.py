@@ -62,7 +62,15 @@ def pack_db(seqs: List[bytes], Ld_max: int) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def _bucketed(scores_fn, qc, seqs, *args):
-    """Run a kernel over length buckets, returning (N,) scores."""
+    """Run a kernel over length buckets, returning (N,) scores.
+
+    With an active device mesh each bucket's DB-sequence axis is
+    sharded over the "db" mesh axis (parallel/mesh.py) — the
+    per-device shard mirrors the reference's OpenMP static chunks
+    (src/hhprefilter.cpp:466-536)."""
+    from ..parallel.mesh import get_mesh, sharded_prefilter_scores
+
+    mesh = get_mesh()
     order = np.argsort([len(s) for s in seqs], kind="stable")
     out = np.zeros(len(seqs), dtype=np.int32)
     bucket = 2048
@@ -72,7 +80,10 @@ def _bucketed(scores_fn, qc, seqs, *args):
         group = [seqs[j] for j in idx]
         Ld_max = max(1, max(len(s) for s in group))
         db, ln = pack_db(group, Ld_max)
-        sc = np.asarray(scores_fn(qc, db, ln, *args))
+        if mesh is not None:
+            sc = sharded_prefilter_scores(scores_fn, qc, db, ln, *args)
+        else:
+            sc = np.asarray(scores_fn(qc, db, ln, *args))
         out[idx] = sc
         i += bucket
     return out
@@ -128,11 +139,21 @@ def prefilter_db(par: Parameters, q_tmp: HMM, lib: ContextLibrary,
     hhlog.info(f"HMMs passed 1st prefilter (gapless profile-profile "
                f"alignment)  : {len(survivors)}")
 
-    # ---- stage 2: gapped SW ----
+    # ---- stage 2: gapped SW (Pallas kernel on TPU: H/E state in
+    # VMEM + log-roll F fixpoint; lax.scan elsewhere) ----
+    stage2 = ops.gapped_scores
+    try:
+        import jax
+        if jax.devices()[0].platform != "cpu" \
+                and par.prefilter_gap_extend > 0:
+            from ..ops.prefilter_pallas2 import gapped_scores_pallas
+            stage2 = gapped_scores_pallas
+    except Exception:
+        pass
     gap_init = par.prefilter_gap_open + par.prefilter_gap_extend
     sub_seqs = [seqs[n] for n in survivors]
     with annotate("prefilter_stage2_gapped"):
-        raw2 = _bucketed(ops.gapped_scores, qc, sub_seqs,
+        raw2 = _bucketed(stage2, qc, sub_seqs,
                          np.int32(gap_init),
                          np.int32(par.prefilter_gap_extend),
                          np.int32(par.prefilter_score_offset))

@@ -216,7 +216,18 @@ def _dispatch_kernel(qp, qtr, tp, ttr, cell_off, t_L, shift, egq, egt,
                      ss_batch, local):
     """Pick the Pallas TPU kernel when running on TPU hardware with the
     default (zero) end-gap penalties; lax.scan reference kernel
-    otherwise."""
+    otherwise.  With an active device mesh the template batch is
+    sharded over the "db" axis (parallel/mesh.py) — the production
+    multi-device path."""
+    from ..parallel.mesh import get_mesh, sharded_viterbi_backtrace
+
+    if get_mesh() is not None:
+        from ..profiling import annotate
+
+        with annotate("viterbi_backtrace_sharded"):
+            return sharded_viterbi_backtrace(
+                qp, qtr, tp, ttr, cell_off, t_L, np.float32(shift),
+                float(egq), float(egt), ss_batch, bool(local))
     if _on_tpu() and egq == 0.0 and egt == 0.0:
         from ..ops.viterbi_rows import viterbi_batch_rows
         from ..profiling import annotate
@@ -274,13 +285,24 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
         for bstart in range(0, len(junk), batch_size):
             idxs = junk[bstart: bstart + batch_size]
             batch = [tmpl_list[i] for i in idxs]
-            Lt_max = max(t.L for t in batch)
+            # quantize the padded shapes (template length to 64 columns,
+            # batch to a power-of-2 bucket) so the jit cache sees a
+            # handful of shapes instead of one per batch — XLA compiles
+            # at ~10 s/shape, which otherwise dwarfs the compute
+            Lt_max = -(-max(t.L for t in batch) // 64) * 64
+            nb = len(batch)
+            Bp = min(batch_size, 1 << max(0, nb - 1).bit_length())
             tp, ttr, t_L = pack_templates(batch, Lt_max)
+            if Bp > nb:
+                tp = np.pad(tp, ((0, Bp - nb), (0, 0), (0, 0)))
+                ttr = np.pad(ttr, ((0, Bp - nb), (0, 0), (0, 0)),
+                             constant_values=-FLT_MAX)
+                t_L = np.pad(t_L, (0, Bp - nb))
             ss_hmm_mode = compute_ss_hmm_mode(q, batch) \
                 if par.ssm == 2 else NO_SS_INFORMATION
 
             Lq = q.L
-            cell_off = np.zeros((len(batch), Lq + 1, Lt_max + 1),
+            cell_off = np.zeros((Bp, Lq + 1, Lt_max + 1),
                                 dtype=bool)
             any_co = False
             for b, i in enumerate(idxs):
@@ -301,7 +323,7 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
 
             ss_batch = None
             if ss_hmm_mode != NO_SS_INFORMATION:
-                ss_batch = np.zeros((len(batch), Lq + 1, Lt_max + 1),
+                ss_batch = np.zeros((Bp, Lq + 1, Lt_max + 1),
                                     dtype=np.float32)
                 for b, t in enumerate(batch):
                     m = build_ss_score(q, t, ss_hmm_mode, par.ssw,
@@ -401,10 +423,18 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
             # for any query length now that the kernel row-panels its
             # VMEM state; Si streams as bfloat16 (ranking-only scores,
             # survivors are re-scored exactly by the backtrace pass)
+            from ..parallel.mesh import get_mesh, sharded_lanes_scores
+
             with annotate("viterbi_lanes_sweep"):
-                sc = viterbi_score_lanes(qp_f, qtr_f, tp, ttr, t_L,
-                                         np.float32(par.shift),
-                                         interpret=interp, **kw)
+                if get_mesh() is not None:
+                    sc = sharded_lanes_scores(qp_f, qtr_f, tp, ttr, t_L,
+                                              np.float32(par.shift),
+                                              ss_kw=kw or None,
+                                              interpret=interp)
+                else:
+                    sc = viterbi_score_lanes(qp_f, qtr_f, tp, ttr, t_L,
+                                             np.float32(par.shift),
+                                             interpret=interp, **kw)
             scores[s: s + len(idxs)] = np.asarray(sc)[: len(idxs)]
         return scores
 
