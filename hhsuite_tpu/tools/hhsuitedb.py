@@ -145,6 +145,135 @@ def build_hhsuite_db(out_base: str, a3m_files: Optional[List[str]] = None,
         f"{len(cs.names())} cs219 sequences")
 
 
+def _read_entries(base: str):
+    from ..io.ffindex import FFindexDatabase
+
+    return FFindexDatabase(base + ".ffdata", base + ".ffindex")
+
+
+def _rewrite_db(base: str, keep, replacements=None, log=print):
+    """Rewrite a DB keeping only ``keep`` names (sorted + compacted —
+    the reference's sort_database + optimize_database combined), with
+    optional per-name payload replacements."""
+    from ..io.ffindex import FFindexDatabase, FFindexWriter
+
+    db = FFindexDatabase(base + ".ffdata", base + ".ffindex")
+    replacements = replacements or {}
+    items = []
+    seen = set()
+    for e in db.entries:
+        if e.name not in keep or e.name in seen:
+            continue
+        seen.add(e.name)
+        items.append((e.name, replacements.get(e.name,
+                                               db.read_bytes(e))))
+    for name, payload in replacements.items():
+        if name not in seen and name in keep:
+            items.append((name, payload))
+    items.sort(key=lambda kv: kv[0])
+    with FFindexWriter(base + ".ffdata", base + ".ffindex") as w:
+        for name, payload in items:
+            w.add(name, payload)
+
+
+def _calc_payloads(names, a3m_db, kind: str):
+    """Recompute cs219 or hhm payloads from the a3m database."""
+    out = {}
+    if not names:
+        return out
+    _worker_init()
+    for name in names:
+        text = a3m_db.read_text(name)
+        n, cs, hhm = _entry_jobs((name, text, kind == "hhm"))
+        out[name] = cs if kind == "cs219" else (hhm or "").encode()
+    return out
+
+
+def check_database(out_base: str, threads: int = 0, force: bool = False,
+                   log=print) -> bool:
+    """Self-check + repair passes (scripts/hhsuitedb.py:204-430).
+
+    Detects and (with ``force``) repairs: corrupted a3m entries
+    (removed from all three DBs), duplicate index entries (a3m
+    duplicates are a hard error; cs219/hhm duplicates recalculated
+    from the a3m), unsorted indexes (re-sorted), entries missing from
+    cs219/hhm (recalculated), and overhead entries without an a3m
+    (removed).  Returns True when the database is consistent.
+    """
+    from ..io.ffindex import FFindexDatabase
+    from ..tools.a3m_container import A3MContainer
+
+    if not (os.path.exists(out_base + "_a3m.ffdata")
+            and os.path.exists(out_base + "_a3m.ffindex")):
+        raise FileNotFoundError(f"no a3m database at {out_base}_a3m")
+    a3m_db = _read_entries(out_base + "_a3m")
+    a3m_names = [e.name for e in a3m_db.entries]
+
+    # a3m duplicates are unrepairable (handle_duplicates a3m branch)
+    dup_a3m = {n for n in a3m_names if a3m_names.count(n) > 1}
+    if dup_a3m:
+        raise ValueError(
+            f"{out_base}_a3m.ffindex contains duplicates — database "
+            f"is broken: {sorted(dup_a3m)[:5]}")
+
+    ok = True
+
+    # corrupted alignments (check_a3m_format)
+    corrupted = set()
+    for e in a3m_db.entries:
+        try:
+            A3MContainer().read_a3m_from_lines(
+                a3m_db.read_text(e).splitlines())
+        except Exception:
+            corrupted.add(e.name)
+            log(f"WARNING: A3M {e.name} is corrupted!")
+    if corrupted:
+        ok = False
+        if force:
+            log("WARNING: removing corrupted a3m entries!")
+            keep = set(a3m_names) - corrupted
+            for suffix in ("_a3m", "_cs219", "_hhm"):
+                if os.path.exists(out_base + suffix + ".ffindex"):
+                    _rewrite_db(out_base + suffix, keep, log=log)
+            a3m_db = _read_entries(out_base + "_a3m")
+            a3m_names = [e.name for e in a3m_db.entries]
+
+    a3m_set = set(a3m_names)
+    for suffix, kind in (("_cs219", "cs219"), ("_hhm", "hhm")):
+        base = out_base + suffix
+        if not os.path.exists(base + ".ffindex"):
+            continue
+        db = _read_entries(base)
+        names = [e.name for e in db.entries]
+        nameset = set(names)
+
+        dups = sorted({n for n in names if names.count(n) > 1})
+        for d in dups:
+            log(f"WARNING: {base}.ffindex contains duplicate {d}!")
+        unsorted = names != sorted(names)
+        if unsorted:
+            log(f"WARNING: index {base}.ffindex is unsorted!")
+        missing = sorted(a3m_set - nameset) if kind == "cs219" else []
+        for m in missing:
+            log(f"WARNING: missing entry {m} in {base}.ff(data,index)!")
+        overhead = sorted(nameset - a3m_set)
+        for o in overhead:
+            log(f"WARNING: entry {o} in {base} has no a3m entry!")
+
+        if dups or unsorted or missing or overhead:
+            ok = False
+            if force:
+                log(f"WARNING: repairing {base} "
+                    f"(recalculate/sort/compact)!")
+                recalc = _calc_payloads(set(dups) | set(missing),
+                                        a3m_db, kind)
+                _rewrite_db(base, a3m_set, replacements=recalc, log=log)
+            else:
+                log("You may try to use the option --force to fix "
+                    "the database!")
+    return ok
+
+
 def main(argv: List[str]) -> int:
     out = None
     ia3m: List[str] = []
@@ -169,9 +298,15 @@ def main(argv: List[str]) -> int:
         elif a == "--force":
             force = True
         i += 1
-    if not out or (not ia3m and not a3m_db):
-        print("hhsuitedb -o <db_base> --ia3m '<glob>' | --ia3m_db <base> "
+    if not out:
+        print("hhsuitedb -o <db_base> [--ia3m '<glob>' | --ia3m_db <base>] "
               "[--cpu N] [--force]", file=sys.stderr)
         return 4
+    if not ia3m and not a3m_db:
+        # check/repair an existing database (scripts/hhsuitedb.py flow
+        # when invoked without new input alignments)
+        ok = check_database(out, threads, force)
+        return 0 if ok or force else 1
     build_hhsuite_db(out, ia3m or None, a3m_db, threads, force)
+    check_database(out, threads, force)
     return 0

@@ -7,10 +7,13 @@ common aligned-FASTA intermediate; a3m insert columns are expanded
 against the match-column structure exactly like reformat.pl's
 a3m->fas path (dots padded so all rows align).
 
-Options mirrored from reformat.pl: -r (remove all-gap columns),
--M first (match states from first sequence), -M <int> (gap-percent
-rule), -uc/-lc, -num (rename sequences to 1..N), -noss (drop ss/sa
-annotation rows), -l <width>.
+Options mirrored from reformat.pl (scripts/reformat.pl:60-85):
+-M first|<int> (match-state assignment), -r (remove insert states),
+-r <int> (remove insert columns with more than X% gaps), -g ''|'-'
+(gap representation; '' = unaligned), -uc/-lc, -num ('1:name' prefixes),
+-noss (drop ss_* rows), -sa (keep sa_* rows, removed by default),
+-d <len> (truncate name lines), -l <width>; output format ufas
+(unaligned FASTA, implies -g '').
 """
 
 from __future__ import annotations
@@ -19,7 +22,7 @@ import re
 import sys
 from typing import List, Optional, Tuple
 
-FORMATS = ("fas", "a2m", "a3m", "sto", "psi", "clu")
+FORMATS = ("fas", "a2m", "a3m", "sto", "psi", "clu", "ufas")
 
 
 def _parse_fasta_like(text: str) -> List[Tuple[str, str]]:
@@ -192,20 +195,53 @@ def _assign_match_states(pairs, M: str) -> List[bool]:
 
 
 def write_msa(pairs: List[Tuple[str, str]], outformat: str,
-              M: str = "50", remove_gap_cols: bool = False,
+              M: str = "50", remove_inserts: bool = False,
+              remove_gapped: int = 0,
               case: Optional[str] = None, number: bool = False,
-              width: int = 100, noss: bool = False) -> str:
+              width: int = 100, noss: bool = False,
+              keep_sa: bool = False, gap: Optional[str] = None,
+              desclen: int = 0) -> str:
     if noss:
         pairs = [(n, s) for (n, s) in pairs
-                 if not re.match(r"(ss_|sa_|aa_)", n)]
-    if remove_gap_cols and pairs:
+                 if not re.match(r"(ss_|aa_)", n)]
+    if not keep_sa:
+        # solvent accessibility rows are removed by default
+        # (reformat.pl:99 $nosa=1; -sa keeps them)
+        pairs = [(n, s) for (n, s) in pairs if not n.startswith("sa_")]
+    if remove_inserts and pairs:
+        # -r: drop insert (non-match) columns AFTER -M processing
+        # (reformat.pl:72-73,131-132)
+        match = _assign_match_states(pairs, M)
+        pairs = [(n, "".join(c for c, m in zip(s, match) if m))
+                 for n, s in pairs]
+    elif remove_gapped and pairs:
+        # -r <int>: drop insert columns with more than X% gaps
+        match = _assign_match_states(pairs, M)
+        nrow = len(pairs)
         L = len(pairs[0][1])
-        keep = [any(p[1][k] not in "-." for p in pairs)
-                for k in range(L)]
-        pairs = [(n, "".join(c for c, k in zip(s, keep) if k))
+        keep = []
+        for k in range(L):
+            if match[k]:
+                keep.append(True)
+                continue
+            gaps = sum(1 for _n, s in pairs if s[k] in "-.")
+            keep.append(100.0 * gaps / nrow <= remove_gapped)
+        pairs = [(n, "".join(c for c, m in zip(s, keep) if m))
                  for n, s in pairs]
     if number:
-        pairs = [(str(i + 1), s) for i, (_n, s) in enumerate(pairs)]
+        # '1:name' prefixes (reformat.pl:65 -num)
+        pairs = [(f"{i + 1}:{n}", s)
+                 for i, (n, s) in enumerate(pairs)]
+    if desclen:
+        pairs = [(n[:desclen], s) for n, s in pairs]
+    if outformat == "ufas":
+        gap = ""            # reformat.pl:205
+        outformat = "fas"
+    if gap == "":
+        pairs = [(n, s.replace("-", "").replace(".", ""))
+                 for n, s in pairs]
+    elif gap == "-":
+        pairs = [(n, s.replace(".", "-")) for n, s in pairs]
     if case == "uc":
         pairs = [(n, s.upper()) for n, s in pairs]
     elif case == "lc":
@@ -231,7 +267,7 @@ def write_msa(pairs: List[Tuple[str, str]], outformat: str,
         out = []
         for n, s in pairs:
             if outformat == "fas":
-                s = s.replace(".", "-").upper()
+                s = s.replace(".", "-")
             out.append(">" + n)
             if outformat == "a3m":
                 out.append(s)
@@ -283,8 +319,9 @@ def _sniff(path: str) -> Optional[str]:
 
 
 def main(argv: List[str]) -> int:
-    opts = {"M": "50", "remove_gap_cols": False, "case": None,
-            "number": False, "width": 100, "noss": False}
+    opts = {"M": "50", "remove_inserts": False, "remove_gapped": 0,
+            "case": None, "number": False, "width": 100, "noss": False,
+            "keep_sa": False, "gap": None, "desclen": 0}
     pos: List[str] = []
     i = 0
     while i < len(argv):
@@ -293,7 +330,16 @@ def main(argv: List[str]) -> int:
             i += 1
             opts["M"] = argv[i]
         elif a == "-r":
-            opts["remove_gap_cols"] = True
+            # -r [int]: bare -r removes inserts; -r X removes insert
+            # columns with more than X% gaps (reformat.pl:131-132)
+            if i + 1 < len(argv) and argv[i + 1].isdigit():
+                i += 1
+                opts["remove_gapped"] = int(argv[i])
+            else:
+                opts["remove_inserts"] = True
+        elif a == "-g":
+            i += 1
+            opts["gap"] = argv[i]
         elif a == "-uc":
             opts["case"] = "uc"
         elif a == "-lc":
@@ -302,11 +348,18 @@ def main(argv: List[str]) -> int:
             opts["number"] = True
         elif a == "-noss":
             opts["noss"] = True
+        elif a == "-sa":
+            opts["keep_sa"] = True
+        elif a == "-d":
+            i += 1
+            opts["desclen"] = int(argv[i])
+        elif a == "-v":
+            i += 1
+        elif not a.startswith("-"):
+            pos.append(a)
         elif a == "-l":
             i += 1
             opts["width"] = int(argv[i])
-        elif not a.startswith("-"):
-            pos.append(a)
         i += 1
     if len(pos) == 4:
         informat, outformat, infile, outfile = pos

@@ -1,4 +1,5 @@
-"""reformat tool: format conversions and round-trips."""
+"""reformat tool: format conversions, round-trips and reformat.pl
+option semantics (scripts/reformat.pl:60-85)."""
 
 import os
 
@@ -22,21 +23,22 @@ def test_a3m_to_fas_alignment():
     pairs = read_msa(fas, "fas")
     lens = {len(s) for _n, s in pairs}
     assert len(lens) == 1          # all rows aligned
-    assert pairs[0][1].startswith("MKV-LA")
-    # insert region from seq1 (cde) and seq3 (fgh) must align as columns
-    assert "CDE" in pairs[0][1]
-    assert "FGH" in pairs[2][1]
+    assert pairs[0][1].upper().startswith("MKV-LA")
+    # insert region from seq1 (cde) and seq3 (fgh) must align as
+    # columns; case is preserved (reformat.pl only uppercases on -uc)
+    assert "cde" in pairs[0][1]
+    assert "fgh" in pairs[2][1]
 
 
 def test_fas_a3m_roundtrip():
     fas = reformat(A3M, "a3m", "fas")
     a3m2 = reformat(fas, "fas", "a3m", M="first")
     fas2 = reformat(a3m2, "a3m", "fas")
-    # match columns defined by seq1: round trip preserves residues
     p1 = dict(read_msa(fas, "fas"))
     p2 = dict(read_msa(fas2, "fas"))
     for name in p1:
-        assert p1[name].replace("-", "") == p2[name].replace("-", "")
+        assert p1[name].replace("-", "").upper() \
+            == p2[name].replace("-", "").upper()
 
 
 def test_sto_roundtrip():
@@ -45,7 +47,7 @@ def test_sto_roundtrip():
     assert sto.startswith("# STOCKHOLM 1.0")
     fas2 = reformat(sto, "sto", "fas")
     assert [s for _n, s in read_msa(fas2, "fas")] \
-        == [s for _n, s in read_msa(fas, "fas")]
+        == [s.upper() for _n, s in read_msa(fas, "fas")]
 
 
 def test_psi_and_clu():
@@ -56,14 +58,75 @@ def test_psi_and_clu():
     assert clu.startswith("CLUSTAL")
     fas_c = reformat(clu, "clu", "fas")
     assert [s for _n, s in read_msa(fas_c, "fas")] \
-        == [s for _n, s in read_msa(fas, "fas")]
+        == [s.upper() for _n, s in read_msa(fas, "fas")]
 
 
-def test_remove_gap_columns_and_query_fixture():
+def test_remove_inserts_query_fixture():
+    """-r: all insert states dropped -> rows equal in length."""
     with open(f"{FIX}/query.a3m") as f:
         text = f.read()
-    fas = reformat(text, "a3m", "fas", remove_gap_cols=True)
+    fas = reformat(text, "a3m", "fas", remove_inserts=True,
+                   M="a3m")
     pairs = read_msa(fas, "fas")
     assert len(pairs) == 59
     lens = {len(s) for _n, s in pairs}
     assert len(lens) == 1
+    assert not any(c.islower() for _n, s in pairs for c in s)
+
+
+def test_remove_inserts_small():
+    fas = reformat(A3M, "a3m", "fas", remove_inserts=True, M="a3m")
+    pairs = read_msa(fas, "fas")
+    # seq1 has 10 match states (uppercase + '-'); inserts cde dropped
+    assert pairs[0][1] == "MKV-LAFG"
+    assert pairs[2][1] == "M-VKLA-G"
+
+
+def test_remove_gapped_insert_columns():
+    """-r X: insert columns with more than X% gaps are dropped, the
+    rest stay.  Each insert column here has 1/3 = 33.3% gaps."""
+    fas = reformat(A3M, "a3m", "fas", remove_gapped=30, M="a3m")
+    pairs = read_msa(fas, "fas")
+    assert pairs[0][1] == "MKV-LAFG"        # 33.3 > 30 -> dropped
+    fas2 = reformat(A3M, "a3m", "fas", remove_gapped=50, M="a3m")
+    pairs2 = read_msa(fas2, "fas")
+    assert "cde" in pairs2[0][1]            # 33.3 <= 50 -> kept
+
+
+def test_gap_modes_and_ufas():
+    ufas = reformat(A3M, "a3m", "ufas")
+    pairs = read_msa(ufas, "fas")
+    assert pairs[0][1] == "MKVLAcdeFG"      # unaligned, no gaps
+    g = reformat(A3M, "a3m", "fas", gap="-")
+    assert "." not in g
+    empty = reformat(A3M, "a3m", "fas", gap="")
+    assert "-" not in empty.split(">seq2")[1].splitlines()[1]
+
+
+def test_num_prefix_and_case():
+    fas = reformat(A3M, "a3m", "fas", number=True)
+    pairs = read_msa(fas, "fas")
+    assert pairs[0][0].startswith("1:")
+    assert pairs[2][0].startswith("3:")
+    up = reformat(A3M, "a3m", "fas", case="uc")
+    assert "cde" not in up
+    lo = reformat(A3M, "a3m", "fas", case="lc")
+    assert "MKV" not in lo
+
+
+def test_sa_rows_removed_by_default():
+    text = ">ss_pred\nCCCHHH--\n>sa_dssp\nAABB-CC-\n>s1\nMKVQLA-G\n"
+    fas = reformat(text, "fas", "fas")
+    names = [n for n, _s in read_msa(fas, "fas")]
+    assert "sa_dssp" not in names and "ss_pred" in names
+    fas2 = reformat(text, "fas", "fas", keep_sa=True)
+    names2 = [n for n, _s in read_msa(fas2, "fas")]
+    assert "sa_dssp" in names2
+    fas3 = reformat(text, "fas", "fas", noss=True)
+    names3 = [n for n, _s in read_msa(fas3, "fas")]
+    assert "ss_pred" not in names3
+
+
+def test_desclen_truncation():
+    fas = reformat(A3M, "a3m", "fas", desclen=4)
+    assert read_msa(fas, "fas")[0][0] == "seq1"
