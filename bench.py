@@ -1,5 +1,7 @@
-"""Benchmark: Viterbi DP-cell throughput (GCUPS) of the search funnel's
-scoring sweep on one chip.
+"""Benchmark: (1) Viterbi DP-cell throughput (GCUPS) of the search
+funnel's scoring sweep on one chip, and (2) end-to-end hhblits
+profile-pairs/s on a synthetic 512-template family database, with a
+host/device stage split.
 
 The search runs a two-pass funnel: the template-lanes score-only kernel
 sweeps every prefiltered template (this is the stage that scales with
@@ -8,19 +10,28 @@ re-run through the backtrace kernel (viterbi_rows).  The headline metric
 is the scoring sweep's DP-cell throughput at a realistic operating point
 (1024 templates x 511x511 profiles).
 
-Prints one JSON line {"metric", "value", "unit", "vs_baseline"}.
-Baseline: hhblits-AVX2 best case ~10 GCUPS/socket (BASELINE.md derived
-estimate).  Timing is slope-based (many kernel invocations chained inside
-one jit call, two different counts) so fixed dispatch/transfer latency of
-remote-TPU setups cancels out.
+Prints one JSON line per metric {"metric", "value", "unit",
+"vs_baseline"}.  Baselines:
+  * GCUPS: hhblits-AVX2 best case ~10 GCUPS/socket (BASELINE.md
+    derived estimate).
+  * pairs/s: the reference hhblits binary (built from /root/reference
+    with -O3, AVX2) timed on the SAME database (built by our tools,
+    interchange-format compatible) on this host's 2-core Xeon @2.1 GHz:
+    512 templates / 3.51 s = 145.9 pairs/s (-nocontxt -n 1 -cpu 2).
+Timing of the kernel metric is slope-based (many kernel invocations
+chained inside one jit call, two different counts) so fixed
+dispatch/transfer latency of remote-TPU setups cancels out.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_GCUPS = 10.0
+BASELINE_PAIRS_PER_S = 145.9     # reference hhblits, same DB, this host
+BENCH_DB_DIR = os.environ.get("HHSUITE_TPU_BENCHDB", "/tmp/hhsuite_benchdb")
 
 
 def _chained(fn_many, reps):
@@ -91,8 +102,51 @@ def main():
         "value": round(gcups, 4),
         "unit": "GCUPS",
         "vs_baseline": round(gcups / BASELINE_GCUPS, 4),
-    }))
+    }), flush=True)
+
+
+def bench_pairs():
+    """End-to-end hhblits -n 1 on the synthetic 512-template DB."""
+    from hhsuite_tpu.constants import Parameters
+    from hhsuite_tpu.profiling import (disable_stage_timers,
+                                       enable_stage_timers)
+    from hhsuite_tpu.search.engine import HHDatabase
+    from hhsuite_tpu.search.hhblits import run_hhblits
+    from hhsuite_tpu.tools.benchdb import build_bench_db
+
+    os.makedirs(BENCH_DB_DIR, exist_ok=True)
+    base = os.path.join(BENCH_DB_DIR, "bench")
+    n_templates = 512
+    query = build_bench_db(base, n_templates=n_templates)
+
+    def run():
+        par = Parameters.hhblits_defaults()
+        par.nocontxt = True
+        par.num_rounds = 1
+        db = HHDatabase(base)
+        return run_hhblits(par, query, db, "query.a3m")
+
+    run()                       # warmup: jit compiles + parse caches
+    timers = enable_stage_timers()
+    t0 = time.perf_counter()
+    run()
+    wall = time.perf_counter() - t0
+    disable_stage_timers()
+
+    device_s = sum(v for k, v in timers.items()
+                   if k.startswith(("viterbi", "prefilter", "posterior")))
+    pairs = n_templates / wall
+    print(json.dumps({
+        "metric": "hhblits_pairs_per_s",
+        "value": round(pairs, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs / BASELINE_PAIRS_PER_S, 4),
+        "wall_s": round(wall, 3),
+        "device_stage_s": round(device_s, 3),
+        "host_s": round(wall - device_s, 3),
+    }), flush=True)
 
 
 if __name__ == "__main__":
     main()
+    bench_pairs()

@@ -40,16 +40,44 @@ def trace_if_enabled():
         yield
 
 
+# wall-clock accumulation per annotated stage (enabled by
+# enable_stage_timers(); used by bench.py for the host/device split)
+_STAGE_TIMERS: dict | None = None
+
+
+def enable_stage_timers() -> dict:
+    """Start accumulating per-stage wall time; returns the live dict
+    (stage name -> seconds).  Device stages block on their results
+    inside the annotation, so these are end-to-end stage costs."""
+    global _STAGE_TIMERS
+    _STAGE_TIMERS = {}
+    return _STAGE_TIMERS
+
+
+def disable_stage_timers() -> None:
+    global _STAGE_TIMERS
+    _STAGE_TIMERS = None
+
+
 @contextlib.contextmanager
 def annotate(name: str):
     """Named host-side span visible in the profiler timeline.  Falls
     back to a no-op if jax is unavailable (pure host tools)."""
+    timers = _STAGE_TIMERS
+    if timers is not None:
+        import time
+
+        t0 = time.perf_counter()
     try:
         import jax
 
         ctx = jax.profiler.TraceAnnotation(name)
     except Exception:
-        yield
-        return
-    with ctx:
-        yield
+        ctx = contextlib.nullcontext()
+    try:
+        with ctx:
+            yield
+    finally:
+        if timers is not None:
+            timers[name] = (timers.get(name, 0.0)
+                            + time.perf_counter() - t0)

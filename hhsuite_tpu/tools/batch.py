@@ -119,12 +119,30 @@ def run_batch(in_base: str, db_base: str, out_base: str,
     import jax
 
     on_tpu = any(d.platform != "cpu" for d in jax.devices())
-    nproc = 1 if on_tpu else (threads or min(os.cpu_count() or 1, 8))
-    if nproc > 1 and len(jobs) > 1:
-        with ProcessPoolExecutor(max_workers=nproc) as ex:
-            results = list(ex.map(_run_one, jobs))
+    if on_tpu:
+        # the chip is a serialized resource, but host-side phases
+        # (template HMM prep, prefilter packing, MSA merge, writers)
+        # are not: a small thread pool overlaps one query's host work
+        # with another's device sweep — jax dispatch and numpy release
+        # the GIL, and each job owns its HHDatabase/Parameters, so the
+        # queries only share the (thread-safe) JAX client.  This is the
+        # hhblits_omp shape (src/hhblits_omp.cpp:122-164) with the
+        # device standing in for the shared memory bus.
+        from concurrent.futures import ThreadPoolExecutor
+
+        nthreads = threads or 2
+        if nthreads > 1 and len(jobs) > 1:
+            with ThreadPoolExecutor(max_workers=nthreads) as ex:
+                results = list(ex.map(_run_one, jobs))
+        else:
+            results = [_run_one(j) for j in jobs]
     else:
-        results = [_run_one(j) for j in jobs]
+        nproc = threads or min(os.cpu_count() or 1, 8)
+        if nproc > 1 and len(jobs) > 1:
+            with ProcessPoolExecutor(max_workers=nproc) as ex:
+                results = list(ex.map(_run_one, jobs))
+        else:
+            results = [_run_one(j) for j in jobs]
 
     writers: Dict[str, FFindexWriter] = {}
     try:
