@@ -90,7 +90,7 @@ def _search_outputs(par, q, q_tmp, hitlist, qali, mats):
 
 def cmd_hhblits(argv: List[str]) -> int:
     from ..matrices import get_substitution_matrix
-    from ..search.engine import HHDatabase
+    from ..search.engine import open_databases
     from ..search.hhblits import run_hhblits
 
     par = Parameters.hhblits_defaults()
@@ -101,7 +101,7 @@ def cmd_hhblits(argv: List[str]) -> int:
               "[-o out.hhr] [-blasttab f] [-oa3m f] [-n rounds] ...",
               file=sys.stderr)
         return 4
-    db = HHDatabase(par.db_bases[0])
+    db = open_databases(par.db_bases)
     text = _read_infile(par)
     q, hitlist, qali = run_hhblits(par, text, db, par.infile)
     mats = get_substitution_matrix(par.matrix)
@@ -113,7 +113,7 @@ def cmd_hhblits(argv: List[str]) -> int:
 
 def cmd_hhsearch(argv: List[str]) -> int:
     from ..matrices import get_substitution_matrix
-    from ..search.engine import HHDatabase, run_hhsearch
+    from ..search.engine import open_databases, run_hhsearch
 
     par = Parameters.hhsearch_defaults()
     parse_args(argv, par)
@@ -122,7 +122,7 @@ def cmd_hhsearch(argv: List[str]) -> int:
         print("hhsearch -i <query> -d <db basename> [-o out.hhr] ...",
               file=sys.stderr)
         return 4
-    db = HHDatabase(par.db_bases[0])
+    db = open_databases(par.db_bases)
     text = _read_infile(par)
     q, hitlist = run_hhsearch(par, text, db, par.infile)
     mats = get_substitution_matrix(par.matrix)

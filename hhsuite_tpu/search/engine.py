@@ -165,6 +165,71 @@ class HHDatabase:
                                        nseqdis=par.nseqdis)
 
 
+class MultiHHDatabase:
+    """Several -d databases presented as one (hhblits.cpp:1165-1175:
+    the reference loops `for (size_t i = 0; i < dbs.size(); i++)` over
+    its database vector for prefiltering and entry lookup; lookups here
+    route by name, first database wins on collisions)."""
+
+    def __init__(self, dbs: List["HHDatabase"]):
+        assert dbs
+        self.dbs = dbs
+        self.base = ";".join(d.base for d in dbs)
+        self.a3m = dbs[0].a3m            # truthiness probes only
+        self.use_compressed = any(d.use_compressed for d in dbs)
+
+        class _CS:
+            """cs219 view over all member databases."""
+
+            def __init__(self, dbs):
+                self._dbs = dbs
+                self.entries = [e for d in dbs for e in d.cs219.entries]
+                self._route = {}
+                for d in dbs:
+                    for e in d.cs219.entries:
+                        self._route.setdefault(e.name, d)
+
+            def read_bytes(self, e):
+                # entry objects remember their source index; route by
+                # name (first database wins, like sequential -d search)
+                return self._route[e.name].cs219.read_bytes(e.name)
+
+        self.cs219 = _CS(dbs)
+        self._route = self.cs219._route
+
+    def size(self) -> int:
+        return len(self.cs219.entries)
+
+    def _db_for(self, name: str) -> "HHDatabase":
+        db = self._route.get(name)
+        if db is None:
+            for d in self.dbs:
+                if (d.hhm is not None and name in d.hhm) or \
+                        (d.a3m is not None and name in d.a3m):
+                    return d
+            raise KeyError(f"entry {name} in no database of {self.base}")
+        return db
+
+    def init_no_prefilter(self):
+        return [(e.name, e.length - 1) for e in self.cs219.entries]
+
+    def get_template_hmm(self, name, par, mats, use_global_weights=1):
+        return self._db_for(name).get_template_hmm(
+            name, par, mats, use_global_weights)
+
+    def get_template_a3m_text(self, name):
+        return self._db_for(name).get_template_a3m_text(name)
+
+    def get_template_alignment(self, name, par):
+        return self._db_for(name).get_template_alignment(name, par)
+
+
+def open_databases(bases: List[str]):
+    """One HHDatabase, or a MultiHHDatabase for several -d arguments."""
+    dbs = [HHDatabase(b) for b in bases]
+    return dbs[0] if len(dbs) == 1 else MultiHHDatabase(dbs)
+
+
 def template_hmm_from_text(text: str, name: str, par: Parameters,
                            mats: SubstitutionMatrix,
                            use_global_weights: int = 1) -> Tuple[HMM, int]:
