@@ -12,7 +12,7 @@ JAX client in the parent when running single-process, which is the
 default on TPU; CPU runs default to a pool).  hhblits_mpi's
 multi-host variant maps to running this driver once per host on an
 index shard and merging the shard outputs (ffmerge_splits semantics) —
-see parallel/dist.py for the device-mesh story.
+see parallel/mesh.py for the device-mesh story.
 """
 
 from __future__ import annotations
