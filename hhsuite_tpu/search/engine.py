@@ -26,7 +26,7 @@ from .posterior import (MACBacktraceResult, PosteriorDecoder,
                         prepare_template_transitions)
 from .query import (prepare_query_hmm, prepare_template_hmm,
                     read_query_text)
-from .viterbi_search import viterbi_search
+from .viterbi_search import promote_light_hits, viterbi_search
 
 
 class HHDatabase:
@@ -572,6 +572,12 @@ def run_hhsearch(par: Parameters, query_text: str, db: HHDatabase,
     hitlist.extend(hits)
     hitlist.sort()
     hitlist.calculate_pvalues(q, par.loc, par.ssm, par.ssw)
+    # hhsearch never merges MSAs, so only display-rank light hits need
+    # real paths (see promote_light_hits)
+    if promote_light_hits(par, q, hitlist, templates, ss,
+                          merge_window=False):
+        hitlist.sort()
+        hitlist.calculate_pvalues(q, par.loc, par.ssm, par.ssw)
 
     import copy
 

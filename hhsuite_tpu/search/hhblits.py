@@ -23,7 +23,7 @@ from .engine import HHDatabase, neutralize_tags, perform_realign
 from .prefilter import prefilter_db
 from .query import (prepare_query_hmm, prepare_template_hmm,
                     read_query_text)
-from .viterbi_search import viterbi_search
+from .viterbi_search import promote_light_hits, viterbi_search
 
 
 def rescore_previous_hits(par: Parameters, q: HMM, db: HHDatabase,
@@ -169,6 +169,13 @@ def run_hhblits(par: Parameters, query_text: str, db: HHDatabase,
             hitlist.calculate_hhblits_evalues(
                 q, par.dbsize, par.alphaa, par.alphab, par.alphac,
                 par.prefilter_evalue_thresh)
+        if promote_light_hits(par, q, hitlist, templates, ss):
+            hitlist.sort()
+            hitlist.calculate_pvalues(q, par.loc, par.ssm, par.ssw)
+            if par.prefilter:
+                hitlist.calculate_hhblits_evalues(
+                    q, par.dbsize, par.alphaa, par.alphab, par.alphac,
+                    par.prefilter_evalue_thresh)
 
         new_hits = sum(1 for h in hitlist if h.Eval <= par.e)
 

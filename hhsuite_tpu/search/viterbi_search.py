@@ -246,7 +246,8 @@ def _dispatch_kernel(qp, qtr, tp, ttr, cell_off, t_L, shift, egq, egt,
 
 def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                    ss_matrices=None, batch_size: int = 32,
-                   self_names: Optional[set] = None) -> List[Hit]:
+                   self_names: Optional[set] = None,
+                   allow_funnel: bool = True) -> List[Hit]:
     """Align query against prepared template HMMs, with the altali loop.
 
     ``templates``: list of (entry_name, prepared HMM).  Returns all hits
@@ -462,7 +463,8 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
         return hit
 
     K_cap = 2 * max(par.Z, par.B, par.realign_max, par.z, par.b)
-    use_funnel = (_funnel_ok() and par.egq == 0.0 and par.egt == 0.0
+    use_funnel = (allow_funnel and _funnel_ok() and par.egq == 0.0
+                  and par.egt == 0.0
                   and bool(par.loc) and q.L <= 512
                   and not (par.exclstr or par.template_exclstr)
                   and len(templates) > K_cap)
@@ -515,4 +517,44 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                     break
         alive = next_alive
     return hits
+
+
+def promote_light_hits(par: Parameters, q: HMM, hitlist,
+                       templates: List[Tuple[str, HMM]],
+                       ss_matrices=None, merge_window: bool = True) -> bool:
+    """Exactness backstop for the two-pass funnel.
+
+    The funnel's raw-score top-K keeps 2x the display/realign caps as
+    full hits, so normally every hit the user can see has a backtrace.
+    But a light hit can still matter downstream if its E-value lands
+    inside the MSA-merge window: mergeHitsToQuery walks hits up to
+    Eval <= 100*par.e (hhblits.cpp:832-838), with no cap tied to
+    Z/B/realign_max — on very deep hit lists (> 2*max(Z,B,realign_max)
+    significant hits) the reference would merge alignments the funnel
+    never backtraced.  After P/E-values are known, re-run the full
+    Viterbi path (backtrace, rescoring, altali loop) for exactly those
+    hits and splice the results in.
+
+    Returns True if anything was promoted; the caller must then
+    re-sort and recompute P-values / hhblits E-values, since promoted
+    scores gain the correlation term (hhviterbi.cpp:243-252).
+    """
+    cap = max(par.Z, par.B)
+    want = set()
+    for rank, h in enumerate(hitlist):
+        if getattr(h, "light", False) and (
+                (merge_window and h.Eval <= 100.0 * par.e)
+                or rank < cap):
+            want.add(str(h.entry))
+    if not want:
+        return False
+    sub = [(n, t) for (n, t) in templates if n in want]
+    if not sub:
+        return False
+    hitlist.hits = [h for h in hitlist.hits
+                    if not (getattr(h, "light", False)
+                            and str(h.entry) in want)]
+    hitlist.extend(viterbi_search(par, q, sub, ss_matrices=ss_matrices,
+                                  allow_funnel=False))
+    return True
 

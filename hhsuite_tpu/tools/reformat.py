@@ -171,14 +171,14 @@ def read_msa(text: str, informat: str) -> List[Tuple[str, str]]:
     return pairs
 
 
-def _assign_match_states(pairs, M: str) -> List[bool]:
+def _assign_match_states(pairs, M) -> List[bool]:
     L = len(pairs[0][1])
     if M == "first":
         ref = pairs[0][1]
         return [c not in "-." for c in ref]
     try:
         thresh = int(M)
-    except ValueError:
+    except (TypeError, ValueError):
         # a2m/a3m: uppercase/'-' are match columns
         cols = []
         for k in range(L):
@@ -195,7 +195,7 @@ def _assign_match_states(pairs, M: str) -> List[bool]:
 
 
 def write_msa(pairs: List[Tuple[str, str]], outformat: str,
-              M: str = "50", remove_inserts: bool = False,
+              M=None, remove_inserts: bool = False,
               remove_gapped: int = 0,
               case: Optional[str] = None, number: bool = False,
               width: int = 100, noss: bool = False,
@@ -248,7 +248,9 @@ def write_msa(pairs: List[Tuple[str, str]], outformat: str,
         pairs = [(n, s.lower()) for n, s in pairs]
 
     if outformat in ("a2m", "a3m") and pairs:
-        match = _assign_match_states(pairs, M)
+        # no -M given: first-sequence residues define match columns
+        # (reformat.pl:535)
+        match = _assign_match_states(pairs, M or "first")
         conv = []
         for n, s in pairs:
             chars = []
@@ -318,8 +320,34 @@ def _sniff(path: str) -> Optional[str]:
     return f if f in FORMATS else None
 
 
+def _rebuild_opt_args(opts) -> List[str]:
+    """Re-serialize parsed options for batch-mode recursion."""
+    out: List[str] = []
+    if opts["M"] is not None:
+        out += ["-M", str(opts["M"])]
+    if opts["remove_inserts"]:
+        out.append("-r")
+    if opts["remove_gapped"]:
+        out += ["-r", str(opts["remove_gapped"])]
+    if opts["gap"] is not None:
+        out += ["-g", opts["gap"]]
+    if opts["case"]:
+        out.append("-" + opts["case"])
+    if opts["number"]:
+        out.append("-num")
+    if opts["noss"]:
+        out.append("-noss")
+    if opts["keep_sa"]:
+        out.append("-sa")
+    if opts["desclen"]:
+        out += ["-d", str(opts["desclen"])]
+    if opts["width"] != 100:
+        out += ["-l", str(opts["width"])]
+    return out
+
+
 def main(argv: List[str]) -> int:
-    opts = {"M": "50", "remove_inserts": False, "remove_gapped": 0,
+    opts = {"M": None, "remove_inserts": False, "remove_gapped": 0,
             "case": None, "number": False, "width": 100, "noss": False,
             "keep_sa": False, "gap": None, "desclen": 0}
     pos: List[str] = []
@@ -355,6 +383,12 @@ def main(argv: List[str]) -> int:
             opts["desclen"] = int(argv[i])
         elif a == "-v":
             i += 1
+        elif a == "-i":
+            i += 1
+            pos.append(argv[i])
+        elif a == "-o":
+            i += 1
+            pos.append(argv[i])
         elif not a.startswith("-"):
             pos.append(a)
         elif a == "-l":
@@ -365,6 +399,22 @@ def main(argv: List[str]) -> int:
         informat, outformat, infile, outfile = pos
     elif len(pos) == 2:
         infile, outfile = pos
+        # batch mode (reformat.pl:175-199): a glob pattern as infile
+        # plus an extension as outfile converts every matching file
+        if ("*" in infile or "?" in infile) and "/" not in outfile \
+                and not outfile.startswith("stdout"):
+            import glob as _glob
+            import os as _os
+
+            ext = outfile.lstrip(".")
+            outformat = _sniff(ext) or ext
+            rc = 0
+            for f in sorted(_glob.glob(infile)):
+                of = _os.path.splitext(f)[0] + "." + ext
+                rc |= main(argv=[a for a in []] + [
+                    _sniff(f) or "fas", outformat, f, of]
+                    + _rebuild_opt_args(opts))
+            return rc
         informat = _sniff(infile)
         outformat = _sniff(outfile)
     else:

@@ -130,3 +130,30 @@ def test_sa_rows_removed_by_default():
 def test_desclen_truncation():
     fas = reformat(A3M, "a3m", "fas", desclen=4)
     assert read_msa(fas, "fas")[0][0] == "seq1"
+
+
+def test_a3m_default_matchmode_is_first(tmp_path):
+    """reformat.pl:535 — with no -M, a2m/a3m output derives match
+    columns from the FIRST sequence, not the 50%-gap rule."""
+    fas = ">a\nACDEF\n>b\nAC-EF\n"
+    out = reformat(fas, "fas", "a3m")
+    assert ">a\nACDEF" in out and "AC-EF" in out
+    out50 = reformat(fas, "fas", "a3m", M="50")
+    assert "ACdEF" in out50
+
+
+def test_cli_i_o_flags_and_batch_glob(tmp_path):
+    from hhsuite_tpu.tools.reformat import main
+
+    f1 = tmp_path / "x1.fas"
+    f2 = tmp_path / "x2.fas"
+    f1.write_text(">a\nACDEF\n>b\nAC-EF\n")
+    f2.write_text(">c\nGHIKL\n>d\nGH-KL\n")
+    assert main(["fas", "a3m", "-i", str(f1),
+                 "-o", str(tmp_path / "o.a3m")]) == 0
+    assert (tmp_path / "o.a3m").read_text().startswith(">a\nACDEF")
+    # glob batch mode (reformat.pl examples: reformat fas sto '*.fasta')
+    assert main([str(tmp_path / "x*.fas"), "sto"]) == 0
+    assert (tmp_path / "x1.sto").exists()
+    assert (tmp_path / "x2.sto").exists()
+    assert "STOCKHOLM" in (tmp_path / "x1.sto").read_text()

@@ -92,11 +92,11 @@ def searched():
         fun = vs_mod.viterbi_search(par, q, templates)
     finally:
         vs_mod._funnel_ok = orig
-    return par, base, fun
+    return par, base, fun, q, templates
 
 
 def test_funnel_full_hits_match(searched):
-    par, base, fun = searched
+    par, base, fun, _q, _tmpls = searched
     by_entry = {h.entry: h for h in base}
     n_full = 0
     for h in fun:
@@ -112,7 +112,7 @@ def test_funnel_full_hits_match(searched):
 
 
 def test_funnel_light_scores_match(searched):
-    _par, base, fun = searched
+    _par, base, fun, _q, _tmpls = searched
     by_entry = {h.entry: h for h in base}
     lights = [h for h in fun if h.light]
     assert lights, "expected some light hits with 14 templates and K=6"
@@ -123,6 +123,40 @@ def test_funnel_light_scores_match(searched):
 
 
 def test_funnel_keeps_all_hits(searched):
-    _par, base, fun = searched
+    _par, base, fun, _q, _tmpls = searched
     assert len(fun) == len(base)
     assert {h.entry for h in fun} == {h.entry for h in base}
+
+
+def test_promote_light_hits(searched):
+    """The merge-window backstop: any light hit whose E-value lands
+    inside the MSA-merge window (Eval <= 100*par.e) must be replaced
+    by a full hit with a real backtrace path matching the single-pass
+    run (hhblits merges such hits, hhblits.cpp:832-838)."""
+    from hhsuite_tpu.core.hit import HitList
+
+    par, base, fun, q, templates = searched
+    hitlist = HitList()
+    hitlist.N_searched = len(templates)
+    hitlist.extend(copy.deepcopy(fun))
+    hitlist.sort()
+    hitlist.calculate_pvalues(q, par.loc, par.ssm, par.ssw)
+    lights = [h for h in hitlist if h.light]
+    assert lights
+    # choose par.e so that some (not all) light hits are in the window
+    par2 = copy.deepcopy(par)
+    evals = sorted(h.Eval for h in lights)
+    par2.e = evals[len(evals) // 2] / 100.0
+    promoted = vs_mod.promote_light_hits(par2, q, hitlist, templates)
+    assert promoted
+    hitlist.sort()
+    hitlist.calculate_pvalues(q, par2.loc, par2.ssm, par2.ssw)
+    by_entry = {h.entry: h for h in base}
+    for h in hitlist:
+        if h.Eval <= 100.0 * par2.e:
+            assert not h.light
+        if h.light:
+            continue
+        ref = by_entry[h.entry]
+        assert h.score == pytest.approx(ref.score, rel=2e-6)
+        assert h.matched_cols == ref.matched_cols
