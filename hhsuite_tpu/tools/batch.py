@@ -22,8 +22,37 @@ import sys
 from typing import Dict, List, Optional, Tuple
 
 
+def _claim(queue_dir: str, name: str) -> bool:
+    """Atomically claim one work item on a shared filesystem.
+
+    The MPQ master/worker queue (lib/ffindex/src/mpq/mpq.h:25-60) deals
+    [start,end) ranges over MPI; here each worker — any number of
+    processes on any number of hosts sharing the queue directory —
+    self-deals single entries with an O_CREAT|O_EXCL create, which is
+    atomic on POSIX filesystems including NFS.  Exactly one worker
+    cluster-wide wins each entry, and load balances dynamically because
+    claims happen at execution time, not at partition time."""
+    import errno
+
+    path = os.path.join(queue_dir, name.replace("/", "_") + ".claim")
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except OSError as e:
+        if e.errno == errno.EEXIST:
+            return False
+        raise
+    os.close(fd)
+    return True
+
+
 def _run_one(args):
     (name, text, db_base, par_dict, mode) = args
+    # jobs share one dict object on the thread-pool/serial paths;
+    # the pops below must not leak across queries
+    par_dict = dict(par_dict)
+    queue_dir = par_dict.pop("__queue_dir", None)
+    if queue_dir is not None and not _claim(queue_dir, name):
+        return None
     ca3m_out = par_dict.pop("__ca3m_out", False)
     import jax
 
@@ -82,7 +111,8 @@ def _run_one(args):
 def run_batch(in_base: str, db_base: str, out_base: str,
               mode: str = "hhblits", par_overrides: Optional[dict] = None,
               threads: int = 0, log=print, ca3m: bool = False,
-              in_ca3m: bool = False) -> None:
+              in_ca3m: bool = False, shard: Optional[str] = None,
+              queue_dir: Optional[str] = None) -> None:
     """Search every entry of <in_base>.ff{data,index} against db_base and
     write <out_base>_{hhr,m8[,a3m|ca3m]}.ff{data,index} shards.
 
@@ -100,6 +130,14 @@ def run_batch(in_base: str, db_base: str, out_base: str,
     par_dict = dict(par_overrides or {})
     if ca3m:
         par_dict["__ca3m_out"] = True
+    if queue_dir:
+        # multi-host dynamic work dealing (the MPQ equivalent): every
+        # participating host runs this driver with the same -queue dir
+        # (shared filesystem) and a distinct -o shard; workers claim
+        # entries at execution time, so faster hosts take more work.
+        # Merge the shards afterwards with -merge.
+        os.makedirs(queue_dir, exist_ok=True)
+        par_dict["__queue_dir"] = queue_dir
     if in_ca3m:
         from ..io.ca3m import extract_a3m
 
@@ -115,6 +153,12 @@ def run_batch(in_base: str, db_base: str, out_base: str,
         src = FFindexDatabase(in_base + ".ffdata", in_base + ".ffindex")
         jobs = [(e.name, src.read_text(e), db_base, par_dict, mode)
                 for e in src.entries]
+
+    if shard:
+        # static sharding "-shard k/N": this host takes every Nth entry
+        # (the manual alternative when no shared filesystem exists)
+        k, n = (int(x) for x in shard.split("/"))
+        jobs = jobs[k % n::n]
 
     import jax
 
@@ -144,6 +188,7 @@ def run_batch(in_base: str, db_base: str, out_base: str,
         else:
             results = [_run_one(j) for j in jobs]
 
+    results = [r for r in results if r is not None]   # lost claim races
     writers: Dict[str, FFindexWriter] = {}
     try:
         for name, outputs in results:
@@ -186,6 +231,8 @@ def main(argv: List[str]) -> int:
     mode = "hhblits"
     threads = 0
     in_ca3m = False
+    shard = queue_dir = None
+    merge_bases: Optional[List[str]] = None
     par_overrides: dict = {"nocontxt": True}
     i = 0
     while i < len(argv):
@@ -211,12 +258,32 @@ def main(argv: List[str]) -> int:
             in_ca3m = True
         elif a == "-Oca3m":
             par_overrides["__ca3m_out"] = True
+        elif a == "-shard":
+            i += 1
+            shard = argv[i]
+        elif a == "-queue":
+            i += 1
+            queue_dir = argv[i]
+        elif a == "-merge":
+            i += 1
+            merge_bases = argv[i].split(",")
         i += 1
+    if merge_bases is not None:
+        # final rank-0 step of a multi-host run (ffmerge_splits,
+        # src/hhblits_mpi.cpp:83-93,210-219)
+        if not out_base:
+            print("hhblits_batch -merge <shard1,shard2,..> -o <out base>",
+                  file=sys.stderr)
+            return 4
+        merge_shards(out_base, merge_bases)
+        return 0
     if not in_base or not db_base or not out_base:
         print("hhblits_batch -i <query ffindex base> -d <db base> "
-              "-o <out base> [-n rounds] [-cpu N] [-hhsearch]",
+              "-o <out base> [-n rounds] [-cpu N] [-hhsearch] "
+              "[-shard k/N] [-queue <shared dir>] "
+              "[-merge shard1,shard2,.. -o out]",
               file=sys.stderr)
         return 4
     run_batch(in_base, db_base, out_base, mode, par_overrides, threads,
-              in_ca3m=in_ca3m)
+              in_ca3m=in_ca3m, shard=shard, queue_dir=queue_dir)
     return 0

@@ -239,3 +239,49 @@ def test_hhpred_pipeline(built_db, tmp_path):
     # the ss annotation actually made it into the working a3m
     a3m = open(out + ".a3m").read()
     assert ">ss_pred" in a3m
+
+
+def test_queue_dynamic_work_dealing(built_db, tmp_path):
+    """The MPQ analog: two 'hosts' share one claim-queue directory;
+    every query runs on exactly one of them, shards merge to the full
+    result set, and the -shard k/N static split covers all entries."""
+    from hhsuite_tpu.io.ffindex import FFindexDatabase, FFindexWriter
+    from hhsuite_tpu.tools.batch import merge_shards, run_batch
+
+    tmp = built_db
+    with open(f"{FIX}/query.a3m") as f:
+        query = f.read()
+    with FFindexWriter(str(tmp_path / "queries.ffdata"),
+                       str(tmp_path / "queries.ffindex")) as w:
+        for k in range(4):
+            w.add(f"q{k}", query.encode())
+    common = dict(mode="hhsearch",
+                  par_overrides={"nocontxt": True, "prefilter": False,
+                                 "num_rounds": 1},
+                  threads=1, log=lambda *a: None)
+    qdir = str(tmp_path / "queue")
+    run_batch(str(tmp_path / "queries"), str(tmp / "mydb"),
+              str(tmp_path / "host0"), queue_dir=qdir, **common)
+    run_batch(str(tmp_path / "queries"), str(tmp / "mydb"),
+              str(tmp_path / "host1"), queue_dir=qdir, **common)
+    # host0 ran first and claimed everything; host1 got nothing new
+    h0 = FFindexDatabase(str(tmp_path / "host0_hhr.ffdata"),
+                         str(tmp_path / "host0_hhr.ffindex"))
+    assert len(h0) == 4
+    assert not os.path.exists(str(tmp_path / "host1_hhr.ffdata")) or \
+        len(FFindexDatabase(str(tmp_path / "host1_hhr.ffdata"),
+                            str(tmp_path / "host1_hhr.ffindex"))) == 0
+    assert len(os.listdir(qdir)) == 4     # one claim file per entry
+
+    # static -shard k/N split: disjoint and complete
+    run_batch(str(tmp_path / "queries"), str(tmp / "mydb"),
+              str(tmp_path / "s0"), shard="0/2", **common)
+    run_batch(str(tmp_path / "queries"), str(tmp / "mydb"),
+              str(tmp_path / "s1"), shard="1/2", **common)
+    merge_shards(str(tmp_path / "all"),
+                 [str(tmp_path / "s0"), str(tmp_path / "s1")],
+                 kinds=("hhr", "m8"))
+    merged = FFindexDatabase(str(tmp_path / "all_hhr.ffdata"),
+                             str(tmp_path / "all_hhr.ffindex"))
+    assert sorted(e.name for e in merged.entries) == \
+        ["q0", "q1", "q2", "q3"]
