@@ -17,3 +17,23 @@ except ImportError:
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
+
+# Quick tier: modules dominated by interpret-mode Pallas kernels or
+# multi-round golden runs are marked slow so `-m "not slow"` gives a
+# ~2-minute signal during iteration (full suite ~9 min on 2 CPUs).
+_SLOW_MODULES = {
+    "test_viterbi_funnel", "test_mesh_consistency", "test_posterior_batch",
+    "test_realign_device", "test_multidb_golden", "test_multidb_dbs",
+    "test_viterbi_rows", "test_viterbi_lanes", "test_merge_interim",
+    "test_hhblits_iterative", "test_hhblits_golden",
+    "test_prefilter_pallas", "test_prefilter_pallas2",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    for item in items:
+        if item.module.__name__ in _SLOW_MODULES:
+            item.add_marker(_pytest.mark.slow)
