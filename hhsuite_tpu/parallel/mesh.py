@@ -19,12 +19,14 @@ is identical to round-1's single-device behavior.
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 from typing import List, Optional, Sequence
 
 import numpy as np
 
-_ACTIVE_MESH = None
+_ACTIVE_MESH = None                  # process-wide default (CLI -mesh)
+_TLS = threading.local()             # per-thread override (use_mesh)
 
 FLT_MAX = float(np.finfo(np.float32).max)
 
@@ -49,21 +51,73 @@ def set_mesh(mesh) -> None:
 
 
 def get_mesh():
-    """The active mesh, or None when single-device execution applies."""
-    if _ACTIVE_MESH is not None and _ACTIVE_MESH.devices.size > 1:
-        return _ACTIVE_MESH
+    """The active mesh, or None when single-device execution applies.
+
+    A thread-local mesh (``use_mesh``) shadows the process default: the
+    batch driver gives each worker thread its own device sub-mesh so
+    concurrent queries run on disjoint devices (query parallelism, the
+    hhblits_omp axis) while each query still shards its template batch
+    over its sub-mesh (the hhblits_mpi/DB axis)."""
+    mesh = getattr(_TLS, "mesh", None)
+    if mesh is None:
+        mesh = _ACTIVE_MESH
+    if mesh is not None and mesh.devices.size > 1:
+        return mesh
     return None
 
 
 @contextmanager
 def use_mesh(mesh):
-    global _ACTIVE_MESH
-    prev = _ACTIVE_MESH
-    _ACTIVE_MESH = mesh
+    """Thread-locally activate a mesh (nestable, restores on exit)."""
+    prev = getattr(_TLS, "mesh", None)
+    _TLS.mesh = mesh
     try:
         yield mesh
     finally:
-        _ACTIVE_MESH = prev
+        _TLS.mesh = prev
+
+
+class _SingleDeviceMesh:
+    """Sentinel with .devices.size == 1: shadows the process-wide mesh
+    inside a worker thread that was assigned exactly one device, making
+    get_mesh() return None there (single-device code path).  Carries
+    the assigned device so the worker can pin dispatch to it with
+    jax.default_device."""
+
+    class _D:
+        size = 1
+
+    devices = _D()
+
+    def __init__(self, device=None):
+        self.device = device
+
+
+def split_mesh(mesh, n_groups: int) -> List:
+    """Partition a mesh's devices into n_groups db-axis sub-meshes.
+
+    The reference runs one independent HHblits instance per OpenMP
+    thread (src/hhblits_omp.cpp:122-164); here each worker thread gets
+    len(devices)/n_groups devices as its own ("q" x "db") mesh, so
+    queries are embarrassingly parallel across sub-meshes and template
+    batches still shard within one.  Groups with a single device run
+    the plain single-device path."""
+    from jax.sharding import Mesh
+
+    devs = list(mesh.devices.flat)
+    n_groups = max(1, min(n_groups, len(devs)))
+    per = len(devs) // n_groups
+    out = []
+    for g in range(n_groups):
+        sub = devs[g * per: (g + 1) * per]
+        if g == n_groups - 1:
+            sub = devs[g * per:]
+        if len(sub) > 1:
+            out.append(Mesh(np.array(sub).reshape(1, len(sub)),
+                            axis_names=("q", "db")))
+        else:
+            out.append(_SingleDeviceMesh(sub[0]))
+    return out
 
 
 def auto_mesh():

@@ -162,8 +162,10 @@ def run_batch(in_base: str, db_base: str, out_base: str,
 
     import jax
 
+    from ..parallel.mesh import get_mesh
+
     on_tpu = any(d.platform != "cpu" for d in jax.devices())
-    if on_tpu:
+    if on_tpu or get_mesh() is not None:
         # the chip is a serialized resource, but host-side phases
         # (template HMM prep, prefilter packing, MSA merge, writers)
         # are not: a small thread pool overlaps one query's host work
@@ -174,8 +176,38 @@ def run_batch(in_base: str, db_base: str, out_base: str,
         # device standing in for the shared memory bus.
         from concurrent.futures import ThreadPoolExecutor
 
+        from ..parallel.mesh import (_SingleDeviceMesh, get_mesh,
+                                     split_mesh, use_mesh)
+
         nthreads = threads or 2
-        if nthreads > 1 and len(jobs) > 1:
+        mesh = get_mesh()
+        if mesh is not None and nthreads > 1 and len(jobs) > 1:
+            # query parallelism over the device mesh (the "q" axis):
+            # partition the devices into one sub-mesh per worker thread,
+            # so concurrent queries run on disjoint devices while each
+            # still shards its template batch over its own sub-mesh.
+            import queue as _queue
+
+            subs = split_mesh(mesh, nthreads)
+            free: "_queue.Queue" = _queue.Queue()
+            for s in subs:
+                free.put(s)
+
+            def _worker(job):
+                sub = free.get()     # exclusive sub-mesh per live job
+                try:
+                    if isinstance(sub, _SingleDeviceMesh) \
+                            and sub.device is not None:
+                        with use_mesh(sub), jax.default_device(sub.device):
+                            return _run_one(job)
+                    with use_mesh(sub):
+                        return _run_one(job)
+                finally:
+                    free.put(sub)
+
+            with ThreadPoolExecutor(max_workers=len(subs)) as ex:
+                results = list(ex.map(_worker, jobs))
+        elif nthreads > 1 and len(jobs) > 1:
             with ThreadPoolExecutor(max_workers=nthreads) as ex:
                 results = list(ex.map(_run_one, jobs))
         else:
@@ -261,6 +293,10 @@ def main(argv: List[str]) -> int:
         elif a == "-shard":
             i += 1
             shard = argv[i]
+        elif a == "-mesh":
+            i += 1
+            from ..parallel.mesh import make_mesh, set_mesh
+            set_mesh(make_mesh(int(argv[i])))
         elif a == "-queue":
             i += 1
             queue_dir = argv[i]

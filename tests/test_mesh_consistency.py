@@ -101,3 +101,41 @@ def test_hhblits_n2_mesh_identical(tmp_path):
         m88, a3m8 = _blits_outputs(db2)
     assert m81 == m88
     assert a3m1 == a3m8
+
+
+def test_batch_query_parallel_submeshes(tmp_path):
+    """Query parallelism over the mesh: the batch driver partitions an
+    8-device mesh into per-worker sub-meshes (parallel/mesh.py
+    split_mesh), runs queries concurrently on disjoint devices, and
+    must reproduce the serial single-device outputs byte for byte."""
+    _require_devices(8)
+    from hhsuite_tpu.io.ffindex import FFindexDatabase, FFindexWriter
+    from hhsuite_tpu.parallel.mesh import set_mesh
+    from hhsuite_tpu.tools.batch import run_batch
+
+    _make_db(tmp_path)
+    with FFindexWriter(str(tmp_path / "qs.ffdata"),
+                       str(tmp_path / "qs.ffindex")) as w:
+        for k in range(4):
+            w.add(f"q{k}", _query().encode())
+    common = dict(mode="hhsearch",
+                  par_overrides={"nocontxt": True, "prefilter": False,
+                                 "num_rounds": 1},
+                  log=lambda *a: None)
+
+    run_batch(str(tmp_path / "qs"), str(tmp_path / "multi"),
+              str(tmp_path / "serial"), threads=1, **common)
+    set_mesh(make_mesh(8))
+    try:
+        # 2 workers x 4-device sub-meshes
+        run_batch(str(tmp_path / "qs"), str(tmp_path / "multi"),
+                  str(tmp_path / "par"), threads=2, **common)
+    finally:
+        set_mesh(None)
+    ser = FFindexDatabase(str(tmp_path / "serial_m8.ffdata"),
+                          str(tmp_path / "serial_m8.ffindex"))
+    par_db = FFindexDatabase(str(tmp_path / "par_m8.ffdata"),
+                             str(tmp_path / "par_m8.ffindex"))
+    assert len(par_db) == 4
+    for k in range(4):
+        assert par_db.read_text(f"q{k}") == ser.read_text(f"q{k}")
