@@ -66,16 +66,27 @@ def _run_one(args):
     from ..search.engine import HHDatabase, run_hhsearch
     from ..search.hhblits import run_hhblits
 
-    par = (Parameters.hhblits_defaults() if mode == "hhblits"
-           else Parameters.hhsearch_defaults())
+    par = {"hhblits": Parameters.hhblits_defaults,
+           "hhsearch": Parameters.hhsearch_defaults,
+           "hhalign": Parameters.hhalign_defaults}[mode]()
+    template_files = par_dict.pop("__template_files", None)
     for k, v in par_dict.items():
         setattr(par, k, v)
-    db = HHDatabase(db_base)
     mats = get_substitution_matrix(par.matrix)
     qali = None
-    if mode == "hhblits":
+    if mode == "hhalign":
+        # hhalign_mpi (hhblits_mpi.cpp built with -DHHALIGN=1): every
+        # input entry is aligned against the same -t template files
+        from ..search.engine import run_hhalign
+
+        template_texts = [(os.path.basename(t), open(t).read())
+                          for t in (template_files or [])]
+        q, hitlist = run_hhalign(par, text, template_texts, name)
+    elif mode == "hhblits":
+        db = HHDatabase(db_base)
         q, hitlist, qali = run_hhblits(par, text, db, name)
     else:
+        db = HHDatabase(db_base)
         q, hitlist = run_hhsearch(par, text, db, name)
     outputs: Dict[str, bytes] = {}
     hhr = (print_hit_list(q, hitlist, par.maxdbstrlen, par.z, par.Z,
@@ -286,6 +297,11 @@ def main(argv: List[str]) -> int:
             threads = int(argv[i])
         elif a == "-hhsearch":
             mode = "hhsearch"
+        elif a == "-hhalign":
+            mode = "hhalign"
+        elif a == "-t":
+            i += 1
+            par_overrides.setdefault("__template_files", []).append(argv[i])
         elif a == "-in_ca3m":
             in_ca3m = True
         elif a == "-Oca3m":
@@ -313,6 +329,8 @@ def main(argv: List[str]) -> int:
             return 4
         merge_shards(out_base, merge_bases)
         return 0
+    if mode == "hhalign" and in_base and out_base:
+        db_base = db_base or "-"          # hhalign needs no database
     if not in_base or not db_base or not out_base:
         print("hhblits_batch -i <query ffindex base> -d <db base> "
               "-o <out base> [-n rounds] [-cpu N] [-hhsearch] "

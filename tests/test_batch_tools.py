@@ -285,3 +285,29 @@ def test_queue_dynamic_work_dealing(built_db, tmp_path):
                              str(tmp_path / "all_hhr.ffindex"))
     assert sorted(e.name for e in merged.entries) == \
         ["q0", "q1", "q2", "q3"]
+
+
+def test_batch_hhalign_mode(tmp_path):
+    """hhalign_mpi equivalent: every input entry aligned against the
+    same -t template files, no database needed."""
+    from hhsuite_tpu.io.ffindex import FFindexDatabase, FFindexWriter
+    from hhsuite_tpu.tools.batch import run_batch
+
+    with open(f"{FIX}/query.a3m") as f:
+        query = f.read()
+    with FFindexWriter(str(tmp_path / "qs.ffdata"),
+                       str(tmp_path / "qs.ffindex")) as w:
+        w.add("qa", query.encode())
+        w.add("qb", query.encode())
+    run_batch(str(tmp_path / "qs"), "-", str(tmp_path / "ali"),
+              mode="hhalign",
+              par_overrides={"nocontxt": True,
+                             "__template_files": [f"{FIX}/query.a3m"]},
+              threads=1, log=lambda *a: None)
+    hhr = FFindexDatabase(str(tmp_path / "ali_hhr.ffdata"),
+                          str(tmp_path / "ali_hhr.ffindex"))
+    strip = lambda t: [ln for ln in t.splitlines()
+                       if not ln.startswith("Date")]
+    out_a = hhr.read_text("qa")
+    assert "Probab=100.00" in out_a
+    assert strip(out_a) == strip(hhr.read_text("qb"))
