@@ -299,8 +299,16 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                 ttr = np.pad(ttr, ((0, Bp - nb), (0, 0), (0, 0)),
                              constant_values=-FLT_MAX)
                 t_L = np.pad(t_L, (0, Bp - nb))
+            # ss_hmm_mode is derived from SS-data availability for every
+            # nonzero -ssm (the runner computes it unconditionally,
+            # hhviterbirunner.cpp:14-22, and ScoreForBacktrace then
+            # reports score_ss even for the "after alignment" modes);
+            # the DP kernel itself adds SS only for ssm=2
+            # (hhviterbi.cpp:175 gates on SCORE_ALIGNMENT, and per the
+            # TODO there ssm=4 deliberately does not reach the SS kernel)
             ss_hmm_mode = compute_ss_hmm_mode(q, batch) \
-                if par.ssm == 2 else NO_SS_INFORMATION
+                if par.ssm else NO_SS_INFORMATION
+            ss_in_dp = par.ssm == 2 and ss_hmm_mode != NO_SS_INFORMATION
 
             Lq = q.L
             cell_off = np.zeros((Bp, Lq + 1, Lt_max + 1),
@@ -323,7 +331,7 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                 any_co = True
 
             ss_batch = None
-            if ss_hmm_mode != NO_SS_INFORMATION:
+            if ss_in_dp:
                 ss_batch = np.zeros((Bp, Lq + 1, Lt_max + 1),
                                     dtype=np.float32)
                 for b, t in enumerate(batch):
@@ -379,7 +387,6 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                 hit.i2 = int(i2[b])
                 hit.j2 = int(j2[b])
                 hit.irep = alignment + 1
-                hit.ssm2 = 1 if ss_hmm_mode != NO_SS_INFORMATION else 0
                 hits.append(hit)
 
                 if sc > smin:
@@ -439,7 +446,7 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
             scores[s: s + len(idxs)] = np.asarray(sc)[: len(idxs)]
         return scores
 
-    def _make_light_hit(tid: int, sc: float, ss_on: bool) -> Hit:
+    def _make_light_hit(tid: int, sc: float) -> Hit:
         t = tmpl_list[tid]
         hit = Hit()
         hit.init_from_hmm(q, t, par.nseqdis, par.ssm)
@@ -459,7 +466,6 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
         hit.matched_cols = 0
         hit.i1 = hit.i2 = hit.j1 = hit.j2 = 0
         hit.irep = 1
-        hit.ssm2 = 1 if ss_on else 0
         return hit
 
     K_cap = 2 * max(par.Z, par.B, par.realign_max, par.z, par.b)
@@ -500,14 +506,10 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                 keep = (scores >= cutoff) | (scores > par.smin - 2.0)
                 full = [junk[k] for k in range(len(junk)) if keep[k]]
                 _run_junk(full)
-                ss_on = par.ssm == 2 and compute_ss_hmm_mode(
-                    q, [tmpl_list[i] for i in junk[:1]]) \
-                    != NO_SS_INFORMATION if junk else False
                 for k in range(len(junk)):
                     if not keep[k]:
                         hits.append(_make_light_hit(junk[k],
-                                                    float(scores[k]),
-                                                    ss_on))
+                                                    float(scores[k])))
             else:
                 _run_junk(junk)
             if alignment == 0 and par.early_stopping_filter:

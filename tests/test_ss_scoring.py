@@ -85,3 +85,44 @@ def test_ss_hhr_rows_present(ss_search):
     want_lines = [l for l in want.splitlines() if l.startswith("Q ss_pred")]
     got_lines = [l for l in out.splitlines() if l.startswith("Q ss_pred")]
     assert got_lines == want_lines
+
+
+def test_ssm1_scores_ss_after_alignment(ss_search):
+    """-ssm 1: SS contributes score_ss (computed along the backtrace,
+    hhviterbi.cpp:230-236) but is NOT added during the DP, so the
+    alignment score equals the no-SS alignment and hit.ssm1 (not ssm2)
+    is set for CalcProbab."""
+    import shutil as _sh
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from hhsuite_tpu.search.engine import HHDatabase, run_hhsearch
+
+    par2, _q, hitlist2 = ss_search
+    tmp = os.path.dirname(hitlist2.hits[0].file) or None
+
+    par = Parameters()
+    par.nocontxt = True
+    par.prefilter = False
+    par.num_rounds = 1
+    par.ssm = 1
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        for f in ("a3m", "cs219"):
+            _sh.copy(f"{FIX}/ss_db_{f}.ffdata", f"{td}/db_{f}.ffdata")
+            _sh.copy(f"{FIX}/ss_db_{f}.ffindex", f"{td}/db_{f}.ffindex")
+        db = HHDatabase(f"{td}/db")
+        with open(f"{FIX}/query_ss.a3m") as f:
+            query = f.read()
+        _q1, hl1 = run_hhsearch(par, query, db, "query_ss.a3m")
+    h1 = hl1.hits[0]
+    h2 = hitlist2.hits[0]
+    # same SS sum reported, flags swapped to the "after" slot
+    assert h1.score_ss == pytest.approx(h2.score_ss, abs=0.05)
+    assert h1.ssm1 == 3 and h1.ssm2 == 0
+    assert h2.ssm2 == 3 and h2.ssm1 == 0
+    # ssm=1 score has no SS inside the DP: for the self-hit the path is
+    # the diagonal either way, so score(ssm1) == score(ssm2) - ss
+    assert h1.score == pytest.approx(h2.score, abs=0.2)
