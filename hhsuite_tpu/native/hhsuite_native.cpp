@@ -647,6 +647,34 @@ static PyObject *qsort_int_native(PyObject *, PyObject *args) {
   return out;
 }
 
+/* backtrace_score_terms(S, S_ss, nsteps, corr)
+ *   S, S_ss: (nsteps+1,) float32 per-step scores (index 0 unused).
+ * Returns (score_ss, corr_term) computed with the reference's exact
+ * sequential float32 accumulation order (hhviterbi.cpp:224-252):
+ *   score_ss = sum S_ss[1..n]
+ *   corr_term = corr * Scorr with Scorr accumulated lag-by-lag
+ *   (lag 1..4, each its own sequential pass).
+ */
+static PyObject *backtrace_score_terms(PyObject *, PyObject *args) {
+  Py_buffer s_b, ss_b;
+  int nsteps;
+  float corr;
+  if (!PyArg_ParseTuple(args, "y*y*if", &s_b, &ss_b, &nsteps, &corr))
+    return nullptr;
+  const float *S = (const float *)s_b.buf;
+  const float *S_ss = (const float *)ss_b.buf;
+  float score_ss = 0.0f;
+  for (int step = 1; step <= nsteps; step++) score_ss += S_ss[step];
+  float scorr = 0.0f;
+  for (int lag = 1; lag <= 4; lag++)
+    for (int step = 1 + lag; step <= nsteps; step++)
+      scorr += S[step] * S[step - lag];
+  float corr_term = corr * scorr;
+  PyBuffer_Release(&s_b);
+  PyBuffer_Release(&ss_b);
+  return Py_BuildValue("ff", score_ss, corr_term);
+}
+
 static PyMethodDef Methods[] = {
     {"parse_index", parse_index, METH_VARARGS,
      "parse .ffindex text -> list[(name, offset, length)]"},
@@ -660,6 +688,8 @@ static PyMethodDef Methods[] = {
      "parse HHM per-column records -> raw fixed-point int arrays"},
     {"qsort_int", qsort_int_native, METH_VARARGS,
      "reference QSortInt permutation (util.cpp:247-274)"},
+    {"backtrace_score_terms", backtrace_score_terms, METH_VARARGS,
+     "sequential-f32 score_ss sum + correlation term"},
     {nullptr, nullptr, 0, nullptr}};
 
 static struct PyModuleDef moduledef = {

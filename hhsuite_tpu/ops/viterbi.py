@@ -455,11 +455,11 @@ def backtrace(bt: np.ndarray, start_i: int, start_j: int):
 
 def exclude_alignment_mask(cell_off: np.ndarray, i_steps, j_steps, Lq, Lt):
     """Cross out cells around a previous alignment path
-    (src/hhviterbi.cpp:61-77, VITERBI_PATH_WIDTH=40)."""
-    W = 40
-    for step in range(1, len(i_steps)):
-        i = int(i_steps[step])
-        j = int(j_steps[step])
-        cell_off[max(i - W, 1): min(i + W, Lq) + 1, j] = True
-        cell_off[i, max(j - W, 1): min(j + W, Lt) + 1] = True
+    (src/hhviterbi.cpp:61-77, VITERBI_PATH_WIDTH=40); vectorized over
+    the path (per column the step rows are contiguous, so the union of
+    ±W windows is [min_i - W, max_i + W], and transposed for rows)."""
+    from ..search.posterior import _band_set
+
+    _band_set(cell_off, np.asarray(i_steps)[1:], np.asarray(j_steps)[1:],
+              40, Lq, Lt, True)
     return cell_off

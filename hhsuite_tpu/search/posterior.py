@@ -110,22 +110,52 @@ def build_realign_cell_off(q: HMM, t: HMM, hit: Hit, par_min_overlap: int,
     keep = ((iidx < hit.i1) & (jidx < hit.j1)) | ((iidx > hit.i2)
                                                   & (jidx > hit.j2))
     co[1:, 1:] = ~keep
-    # ... then re-open a ±40 corridor around the Viterbi path
+    # ... then re-open a ±40 corridor around the Viterbi path.
+    # The per-step loop opens rows [si-W, si+W] of column sj (and the
+    # transpose); the path is monotone, so per column the step rows are
+    # contiguous and the union is [min_i - W, max_i + W] — computed for
+    # all columns at once with ufunc.at reductions.
     W = FWD_BKW_PATHWIDTH
-    for step in range(hit.nsteps, 0, -1):
-        si, sj = int(hit.i[step]), int(hit.j[step])
-        co[max(1, si - W): min(Lq, si + W) + 1, sj] = False
-    for step in range(hit.nsteps, 0, -1):
-        si, sj = int(hit.i[step]), int(hit.j[step])
-        co[si, max(1, sj - W): min(Lt, sj + W) + 1] = False
+    _band_set(co, hit.i[1: hit.nsteps + 1], hit.j[1: hit.nsteps + 1],
+              W, Lq, Lt, False)
 
     # exclude previous alternative MAC alignments (±2 cells)
     for al in alignments_to_exclude:
-        for ii, jj in zip(al.alt_i, al.alt_j):
-            co[max(ii - 2, 1): min(ii + 2, Lq) + 1, jj] = True
-            co[ii, max(jj - 2, 1): min(jj + 2, Lt) + 1] = True
+        _band_set(co, np.asarray(al.alt_i), np.asarray(al.alt_j),
+                  2, Lq, Lt, True)
     apply_exclstr(co, exclstr, template_exclstr, Lq, Lt)
     return co
+
+
+def _band_set(co: np.ndarray, pi, pj, W: int, Lq: int, Lt: int,
+              value: bool) -> None:
+    """Set co[si-W .. si+W, sj] and co[si, sj-W .. sj+W] = value for
+    every path step (si, sj), vectorized over the whole path."""
+    pi = np.asarray(pi, dtype=np.int64)
+    pj = np.asarray(pj, dtype=np.int64)
+    if pi.size == 0:
+        return
+    # column pass: rows [min_i-W, max_i+W] per column (arrays sized to
+    # co, which may be padded wider than Lq+1 x Lt+1)
+    min_i = np.full(co.shape[1], np.iinfo(np.int64).max, np.int64)
+    max_i = np.full(co.shape[1], -1, np.int64)
+    np.minimum.at(min_i, pj, pi)
+    np.maximum.at(max_i, pj, pi)
+    valid = max_i >= 0
+    lo = np.where(valid, np.maximum(1, min_i - W), 1)
+    hi = np.where(valid, np.minimum(Lq, max_i + W), 0)
+    rows = np.arange(co.shape[0])[:, None]
+    co[(rows >= lo[None, :]) & (rows <= hi[None, :])] = value
+    # row pass: columns [min_j-W, max_j+W] per row
+    min_j = np.full(co.shape[0], np.iinfo(np.int64).max, np.int64)
+    max_j = np.full(co.shape[0], -1, np.int64)
+    np.minimum.at(min_j, pi, pj)
+    np.maximum.at(max_j, pi, pj)
+    valid = max_j >= 0
+    lo = np.where(valid, np.maximum(1, min_j - W), 1)
+    hi = np.where(valid, np.minimum(Lt, max_j + W), 0)
+    cols = np.arange(co.shape[1])[None, :]
+    co[(cols >= lo[:, None]) & (cols <= hi[:, None])] = value
 
 
 def prepare_template_transitions(t: HMM):
@@ -761,9 +791,29 @@ class PosteriorDecoder:
                                       np.float32)
             if gather_post:
                 P_post[mm_steps] = p_mm[si, sj]
-        score_ss = np.float32(0.0)
-        for v in S_ss[mm_steps]:
-            score_ss = np.float32(score_ss + v)
+        from ..native import load as _load_native
+
+        nat = _load_native()
+        if nat is not None:
+            # identical f32 accumulation order: non-MM steps hold exact
+            # +0.0 which is an identity under f32 addition, so summing
+            # all steps equals summing the MM subset bit for bit
+            score_ss_f, corr_term = nat.backtrace_score_terms(
+                np.ascontiguousarray(S), np.ascontiguousarray(S_ss),
+                int(nsteps), float(np.float32(corr)))
+            score_ss = np.float32(score_ss_f)
+        else:
+            score_ss = np.float32(0.0)
+            for v in S_ss[mm_steps]:
+                score_ss = np.float32(score_ss + v)
+            scorr = np.float32(0.0)
+            if nsteps:
+                for lag in (1, 2, 3, 4):
+                    prods = np.float32(S[1: nsteps + 1 - lag]
+                                       * S[1 + lag: nsteps + 1])
+                    for v in prods:
+                        scorr = np.float32(scorr + v)
+            corr_term = float(np.float32(corr) * scorr) if nsteps else 0.0
         sum_of_probs = 0.0
         if mm_steps.size:
             keep = (np.ones(mm_steps.size, bool) if t.nss_dssp < 0
@@ -777,14 +827,8 @@ class PosteriorDecoder:
         hit.score_ss = float(score_ss)
         if hit.ssm2 >= 1:
             hit.score -= hit.score_ss
-        scorr = np.float32(0.0)
         if nsteps:
-            for lag in (1, 2, 3, 4):
-                prods = np.float32(S[1: nsteps + 1 - lag]
-                                   * S[1 + lag: nsteps + 1])
-                for v in prods:
-                    scorr = np.float32(scorr + v)
-            hit.score += float(np.float32(corr) * scorr)
+            hit.score += float(np.float32(corr_term))
         hit.score_aass = -hit.score
         hit.logPval = 0.0
         hit.Pval = 1.0

@@ -118,7 +118,23 @@ def score_for_backtrace(q: HMM, t: HMM, align_score: float,
                 sv = ssw * S33[q.ss_pred[mi], q.ss_conf[mi],
                                t.ss_pred[mj], t.ss_conf[mj]]
             S_ss[steps[mm]] = sv
-    # sequential float32 accumulation of score_ss like the reference loop
+    # sequential float32 accumulation of score_ss and the correlation
+    # term (hhviterbi.cpp:224-252) — bit-exact order; the native twin
+    # runs the same f32 loops in C (~1 ms/hit -> ~1 us/hit)
+    from ..native import load as _load_native
+
+    nat = _load_native()
+    if nat is not None:
+        score_ss, corr_term = nat.backtrace_score_terms(
+            np.ascontiguousarray(S), np.ascontiguousarray(S_ss),
+            int(nsteps), float(np.float32(corr)))
+        score_ss = np.float32(score_ss)
+        score = np.float32(align_score)
+        if ss_mode == 2:   # Hit::SCORE_ALIGNMENT: subtract kernel SS
+            score = np.float32(score - score_ss)
+        if nsteps:
+            score = np.float32(score + np.float32(corr_term))
+        return float(score), float(score_ss), S, S_ss
     score_ss = np.float32(0.0)
     for v in S_ss[1:]:
         score_ss = np.float32(score_ss + v)
