@@ -24,8 +24,8 @@ from .posterior import (MACBacktraceResult, PosteriorDecoder,
                         build_realign_cell_off,
                         prepare_query_transitions,
                         prepare_template_transitions)
-from .query import (prepare_query_hmm, prepare_template_hmm,
-                    read_query_text)
+from .query import (finish_template_hmm, prepare_query_hmm,
+                    prepare_template_hmm, read_query_text)
 from .viterbi_search import promote_light_hits, viterbi_search
 
 
@@ -82,6 +82,19 @@ class HHDatabase:
         if len(self._hmm_cache) < self._HMM_CACHE_MAX:
             self._hmm_cache[key] = value
 
+    def _parse_cache_key(self, name: str, par: Parameters,
+                         use_global_weights: int):
+        if self.hhm is not None and name in self.hhm:
+            # the hhm branch ignores the MSA->HMM knobs (read_hhm takes
+            # only nseqdis/maxres), so don't let them split the cache —
+            # the realign pass calls with use_global_weights=par.wg
+            return (name, "hhm", par.nseqdis, par.maxres)
+        return (name, use_global_weights, par.nseqdis, par.maxres,
+                par.max_seqid_db, par.coverage_db, par.qid_db,
+                par.qsc_db, par.Ndiff_db, par.max_seqid, par.coverage,
+                par.qid, par.qsc, par.Ndiff, par.M_template, par.Mgaps,
+                par.mark, par.cons, par.showcons, par.maxseq)
+
     def get_template_hmm(self, name: str, par: Parameters,
                          mats: SubstitutionMatrix,
                          use_global_weights: int = 1) -> Tuple[HMM, int]:
@@ -89,22 +102,38 @@ class HHDatabase:
         compressed a3m, then plain a3m."""
         import copy
 
-        if self.hhm is not None and name in self.hhm:
-            # the hhm branch ignores the MSA->HMM knobs (read_hhm takes
-            # only nseqdis/maxres), so don't let them split the cache —
-            # the realign pass calls with use_global_weights=par.wg
-            key = (name, "hhm", par.nseqdis, par.maxres)
-        else:
-            key = (name, use_global_weights, par.nseqdis, par.maxres,
-                   par.max_seqid_db, par.coverage_db, par.qid_db,
-                   par.qsc_db, par.Ndiff_db, par.max_seqid, par.coverage,
-                   par.qid, par.qsc, par.Ndiff, par.M_template, par.Mgaps,
-                   par.mark, par.cons, par.showcons, par.maxseq)
+        key = self._parse_cache_key(name, par, use_global_weights)
         hit = self._hmm_cache_get(key)
         if hit is not None:
             return copy.deepcopy(hit[0]), hit[1]
         t, fmt = self._load_template_hmm(name, par, mats,
                                          use_global_weights)
+        self._hmm_cache_put(key, (t, fmt))
+        return copy.deepcopy(t), fmt
+
+    def get_template_hmm_prepared(self, name: str, par: Parameters,
+                                  mats: SubstitutionMatrix,
+                                  use_global_weights: int = 1
+                                  ) -> Tuple[HMM, int]:
+        """Template with the query-independent pseudocount stage
+        already applied (query.py:template_pc_stage) and cached;
+        callers finish with finish_template_hmm(par, q, t, mats).
+        Saves ~3 ms/template/query across rounds and batch queries."""
+        import copy
+
+        from .query import template_pc_stage
+
+        key = self._parse_cache_key(name, par, use_global_weights) + (
+            "pc", par.gapb, par.gapd, par.gape, par.gapf, par.gapg,
+            par.gaph, par.gapi, par.pc_hhm_nocontext_mode,
+            par.pc_hhm_nocontext_a, par.pc_hhm_nocontext_b,
+            par.pc_hhm_nocontext_c)
+        hit = self._hmm_cache_get(key)
+        if hit is not None:
+            return copy.deepcopy(hit[0]), hit[1]
+        t, fmt = self.get_template_hmm(name, par, mats,
+                                       use_global_weights)
+        template_pc_stage(par, t, mats, fmt)
         self._hmm_cache_put(key, (t, fmt))
         return copy.deepcopy(t), fmt
 
@@ -215,6 +244,11 @@ class MultiHHDatabase:
 
     def get_template_hmm(self, name, par, mats, use_global_weights=1):
         return self._db_for(name).get_template_hmm(
+            name, par, mats, use_global_weights)
+
+    def get_template_hmm_prepared(self, name, par, mats,
+                                  use_global_weights=1):
+        return self._db_for(name).get_template_hmm_prepared(
             name, par, mats, use_global_weights)
 
     def get_template_a3m_text(self, name):
@@ -562,8 +596,9 @@ def run_hhsearch(par: Parameters, query_text: str, db: HHDatabase,
     entries = db.init_no_prefilter()
     templates = []
     for name, seqlen in entries:
-        t, fmt = db.get_template_hmm(name, par, mats, use_global_weights=1)
-        prepare_template_hmm(par, q, t, mats, fmt)
+        t, fmt = db.get_template_hmm_prepared(name, par, mats,
+                                              use_global_weights=1)
+        finish_template_hmm(par, q, t, mats)
         templates.append((name, t))
 
     hits = viterbi_search(par, q, templates, ss_matrices=ss)
@@ -584,9 +619,9 @@ def run_hhsearch(par: Parameters, query_text: str, db: HHDatabase,
     q_re = copy.deepcopy(q)
 
     def get_template(entry):
-        t, fmt = db.get_template_hmm(str(entry), par, mats,
-                                     use_global_weights=par.wg)
-        prepare_template_hmm(par, q_re, t, mats, fmt)
+        t, fmt = db.get_template_hmm_prepared(str(entry), par, mats,
+                                              use_global_weights=par.wg)
+        finish_template_hmm(par, q_re, t, mats)
         return t, fmt
 
     if par.premerge and db.a3m is not None:

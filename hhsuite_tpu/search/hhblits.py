@@ -21,8 +21,8 @@ from ..cs.context_lib import ContextLibrary
 from ..matrices import get_ss_matrices, get_substitution_matrix
 from .engine import HHDatabase, neutralize_tags, perform_realign
 from .prefilter import prefilter_db
-from .query import (prepare_query_hmm, prepare_template_hmm,
-                    read_query_text)
+from .query import (finish_template_hmm, prepare_query_hmm,
+                    prepare_template_hmm, read_query_text)
 from .viterbi_search import promote_light_hits, viterbi_search
 
 
@@ -50,9 +50,9 @@ def rescore_previous_hits(par: Parameters, q: HMM, db: HHDatabase,
 
     templates = []
     for name in entry_names:
-        t, fmt = db.get_template_hmm(name, par, mats,
-                                     use_global_weights=1)
-        prepare_template_hmm(par, q, t, mats, fmt)
+        t, fmt = db.get_template_hmm_prepared(name, par, mats,
+                                              use_global_weights=1)
+        finish_template_hmm(par, q, t, mats)
         templates.append((name, t))
 
     hits_to_add = viterbi_search(par, q, templates, ss_matrices=ss)
@@ -156,9 +156,9 @@ def run_hhblits(par: Parameters, query_text: str, db: HHDatabase,
 
         templates = []
         for name in entry_names:
-            t, fmt = db.get_template_hmm(name, par, mats,
-                                         use_global_weights=1)
-            prepare_template_hmm(par, q, t, mats, fmt)
+            t, fmt = db.get_template_hmm_prepared(name, par, mats,
+                                                  use_global_weights=1)
+            finish_template_hmm(par, q, t, mats)
             templates.append((name, t))
 
         hits = viterbi_search(par, q, templates, ss_matrices=ss)
@@ -189,9 +189,9 @@ def run_hhblits(par: Parameters, query_text: str, db: HHDatabase,
                            "Viterbi algorithm")
                 old_templates = []
                 for name in old_entry_names:
-                    t, fmt = db.get_template_hmm(name, par, mats,
-                                                 use_global_weights=1)
-                    prepare_template_hmm(par, q, t, mats, fmt)
+                    t, fmt = db.get_template_hmm_prepared(
+                        name, par, mats, use_global_weights=1)
+                    finish_template_hmm(par, q, t, mats)
                     old_templates.append((name, t))
                 hitlist.extend(viterbi_search(par, q, old_templates,
                                               ss_matrices=ss))
@@ -210,9 +210,9 @@ def run_hhblits(par: Parameters, query_text: str, db: HHDatabase,
         q_re = copy.deepcopy(q)
 
         def get_template(entry):
-            t, fmt = db.get_template_hmm(str(entry), par, mats,
-                                         use_global_weights=par.wg)
-            prepare_template_hmm(par, q_re, t, mats, fmt)
+            t, fmt = db.get_template_hmm_prepared(str(entry), par, mats,
+                                                  use_global_weights=par.wg)
+            finish_template_hmm(par, q_re, t, mats)
             return t, fmt
 
         # premerge runs even with -norealign (hhblits.cpp:1262-1264)

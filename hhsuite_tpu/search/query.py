@@ -120,10 +120,13 @@ def prepare_query_hmm(par: Parameters, q: HMM, mats: SubstitutionMatrix,
     return q
 
 
-def prepare_template_hmm(par: Parameters, q: HMM, t: HMM,
-                         mats: SubstitutionMatrix, input_format: int = 0,
-                         linear_transition_probs: bool = False):
-    """PrepareTemplateHMM (hhfunc.cpp:163-198)."""
+def template_pc_stage(par: Parameters, t: HMM, mats: SubstitutionMatrix,
+                      input_format: int = 0):
+    """The query-independent prefix of PrepareTemplateHMM
+    (hhfunc.cpp:163-190): transition + amino-acid pseudocounts and the
+    aa background.  HHDatabase caches templates at this stage so
+    iterative rounds and batch queries re-run only the (cheap,
+    query-dependent) null-model division."""
     if input_format == 0:
         t.add_transition_pseudocounts(par.gapd, par.gape, par.gapf, par.gapg,
                                       par.gaph, par.gapi, par.gapb)
@@ -138,8 +141,25 @@ def prepare_template_hmm(par: Parameters, q: HMM, t: HMM,
                                       par.pc_hhm_nocontext_c)
     pb_t = getattr(t, "pb_hmmer", None)
     t.calculate_aa_background(pb_t if pb_t is not None else mats.pb)
+    return t
+
+
+def finish_template_hmm(par: Parameters, q: HMM, t: HMM,
+                        mats: SubstitutionMatrix,
+                        linear_transition_probs: bool = False):
+    """The query-dependent tail of PrepareTemplateHMM
+    (hhfunc.cpp:191-198): null model (uses q.pav for columnscore 1/3)."""
+    pb_t = getattr(t, "pb_hmmer", None)
     if linear_transition_probs:
         t.log2lin_transitions()
     t.include_null_model(q, par.columnscore,
                          pb_t if pb_t is not None else mats.pb)
     return t
+
+
+def prepare_template_hmm(par: Parameters, q: HMM, t: HMM,
+                         mats: SubstitutionMatrix, input_format: int = 0,
+                         linear_transition_probs: bool = False):
+    """PrepareTemplateHMM (hhfunc.cpp:163-198)."""
+    template_pc_stage(par, t, mats, input_format)
+    return finish_template_hmm(par, q, t, mats, linear_transition_probs)
