@@ -96,6 +96,7 @@ _VALUE_FLAGS = {
     "-cslib": ("cs_library", str),
     "-name": ("name_override", str),
     "-excl": ("exclstr", str),
+    "-dbstrlen": ("maxdbstrlen", int),
     "-template_excl": ("template_exclstr", str),
     "-premerge": ("premerge", _i),
     "-mark": ("mark_flag", None),
@@ -230,6 +231,23 @@ def parse_args(argv: List[str], par: Parameters) -> Parameters:
                 print("ERROR: no state out of NONE|FULL following "
                       "-interim_filter", file=sys.stderr)
                 raise SystemExit(4)
+        elif a == "-aa3m":
+            # append query alignment in a3m format (hhalign.cpp:331-339)
+            i += 1
+            par.alnfile = argv[i]
+            par.append = 1
+        elif a == "-apsi":
+            # append query alignment in PSI-BLAST format (hhalign.cpp:341)
+            i += 1
+            par.psifile = argv[i]
+            par.append = 1
+        elif a == "-index":
+            # parsed like the reference (hhalign.cpp:363-371), which
+            # stores but never consumes it in v3
+            i += 1
+            par.indexfile = argv[i]
+        elif a == "-Gonnet":
+            par.matrix = 0
         elif a.startswith("-BLOSUM") or a.startswith("-Blosum"):
             # matrix selectors (hhblits.cpp:569-584)
             if a[7:] in ("30", "40", "50", "62", "65", "80"):

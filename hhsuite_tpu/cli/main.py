@@ -81,11 +81,15 @@ def _search_outputs(par, q, q_tmp, hitlist, qali, mats):
     if par.psifile and qali is not None:
         _write(par.psifile, write_alignment_psi(qali), par.append)
     if par.hhmfile:
-        q.add_amino_acid_pseudocounts(0, 0.0, 0.0, 1.0)
-        q.calculate_aa_background(mats.pb)
+        # hhalign rebuilds the profile from the merged MSA before the
+        # writers run (hhalign.cpp:661); the engine stores it on
+        # q.merged_profile so the hhr keeps the searched profile's stats
+        qh = getattr(q, "merged_profile", q)
+        qh.add_amino_acid_pseudocounts(0, 0.0, 0.0, 1.0)
+        qh.calculate_aa_background(mats.pb)
         _write(par.hhmfile,
-               write_hhm(q, mats.pb, par.max_seqid, par.coverage, par.qid,
-                         par.Ndiff, par.qsc, argv), par.append)
+               write_hhm(qh, mats.pb, par.max_seqid, par.coverage,
+                         par.qid, par.Ndiff, par.qsc, argv), par.append)
 
 
 def cmd_hhblits(argv: List[str]) -> int:
@@ -147,11 +151,11 @@ def cmd_hhalign(argv: List[str]) -> int:
     for tf in par.tfiles:
         with open(tf) as f:
             templates.append((tf, f.read()))
-    q, hitlist = run_hhalign(par, text, templates, par.infile)
+    q, hitlist, qali = run_hhalign(par, text, templates, par.infile)
     mats = get_substitution_matrix(par.matrix)
     if not par.outfile and not par.m8file:
         par.outfile = "stdout"
-    _search_outputs(par, q, None, hitlist, None, mats)
+    _search_outputs(par, q, None, hitlist, qali, mats)
     return 0
 
 

@@ -190,6 +190,7 @@ class Parameters:
     half_window_size_local_aa_bg_freqs: int = 40
     min_overlap: int = 0
     maxdbstrlen: int = 200
+    indexfile: str = ""
 
     notags: int = 1
     hmmer_used: bool = False

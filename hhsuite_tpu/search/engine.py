@@ -538,7 +538,9 @@ def run_hhalign(par: Parameters, query_text: str, template_texts:
                 List[Tuple[str, str]], query_name: str = "query"):
     """hhalign -i query -t templates (HHalign::run, hhalign.cpp:590-676).
 
-    Returns (q, hitlist).
+    Returns (q, hitlist, qali) — like the reference, significant hits
+    are merged into the query MSA (hhalign.cpp:658) and the profile is
+    rebuilt from it, so -oa3m/-aa3m/-opsi/-ohhm reflect the merge.
     """
     mats = get_substitution_matrix(par.matrix)
     ss = get_ss_matrices(par.ssa)
@@ -578,7 +580,37 @@ def run_hhalign(par: Parameters, query_text: str, template_texts:
         q_re = copy.deepcopy(q)
         perform_realign(par, q_re, hitlist, get_template, mats, ss,
                         min_col_realign=1)
-    return q, hitlist
+
+    # merge significant hits into the query MSA and rebuild the
+    # profile (hhalign.cpp:658-668), so the -oa3m/-aa3m/-opsi/-ohhm
+    # outputs carry the alignment like the reference
+    if qali is not None and hitlist.hits:
+        from ..core.profile import frequencies_and_transitions
+        from .hhblits_merge import merge_hits_to_query
+
+        class _FileDB:
+            def __init__(self, texts):
+                self._t = dict(texts)
+
+            def get_template_a3m_text(self, name):
+                return self._t[name]
+
+        try:
+            merge_hits_to_query(par, qali, hitlist, set(),
+                                _FileDB(template_texts), mats,
+                                min_col_realign=1)
+            q_new = HMM()
+            frequencies_and_transitions(qali, q_new, par.wg, par.mark,
+                                        par.cons, par.showcons, mats.pb,
+                                        mats.Sim)
+            if par.notags:
+                neutralize_tags(q_new, mats.pb)
+            # keep the searched profile's identity on q for the hhr
+            # writers; the rebuilt profile is what -ohhm emits
+            q.merged_profile = q_new
+        except KeyError:
+            pass      # template text unavailable (e.g. hhm-only input)
+    return q, hitlist, qali
 
 
 def run_hhsearch(par: Parameters, query_text: str, db: HHDatabase,

@@ -410,8 +410,8 @@ class PosteriorDecoder:
                     hit.matched_cols = 1 + int(mm_count[b])
                     hit.i1 = int(hit.i[nb])
                     hit.j1 = int(hit.j[nb])
-                    hit.alt_i = list(ii[b, :nb])
-                    hit.alt_j = list(jj[b, :nb])
+                    hit.alt_i = ii[b, :nb].astype(np.int64)
+                    hit.alt_j = jj[b, :nb].astype(np.int64)
                     # posteriors only at MM steps (the host gathers
                     # AFTER the terminal-state MM overwrite, so the
                     # last step's posterior is included either way)

@@ -81,7 +81,7 @@ def _run_one(args):
 
         template_texts = [(os.path.basename(t), open(t).read())
                           for t in (template_files or [])]
-        q, hitlist = run_hhalign(par, text, template_texts, name)
+        q, hitlist, qali = run_hhalign(par, text, template_texts, name)
     elif mode == "hhblits":
         db = HHDatabase(db_base)
         q, hitlist, qali = run_hhblits(par, text, db, name)

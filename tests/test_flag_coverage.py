@@ -55,6 +55,10 @@ REFERENCE_FLAGS = {
     "-pc_prefilter_nocontxt_mode": "2", "-pc_prefilter_nocontxt_a": "1.0",
     "-pc_prefilter_nocontxt_b": "1.5", "-pc_prefilter_nocontxt_c": "1.0",
     "-filter_matrices": None,
+    # hhalign/hhsearch-only flags (hhalign.cpp / hhsearch.cpp parsers)
+    "-t": "t.a3m", "-excl": "3-57", "-template_excl": "3-57",
+    "-aa3m": "app.a3m", "-apsi": "app.psi", "-index": "idx",
+    "-dbstrlen": "200", "-Gonnet": None, "-Blosum50": None,
 }
 
 

@@ -21,7 +21,7 @@ def align_result():
     par.nocontxt = True
     with open(f"{FIX}/query.a3m") as f:
         query = f.read()
-    q, hitlist = run_hhalign(par, query, [("query.a3m", query)],
+    q, hitlist, _qali = run_hhalign(par, query, [("query.a3m", query)],
                              "query.a3m")
     return par, q, hitlist
 
