@@ -222,6 +222,29 @@ def cmd_hhconsensus(argv: List[str]) -> int:
     return 0
 
 
+
+def _cstranslate_chunk(items, alphabet, modelfile, pc_admix, pc_ali,
+                       weight_as):
+    """Worker for the cstranslate process pool: builds the context
+    library + pseudocount engine once, translates its chunk."""
+    from ..cs.context_lib import (ContextLibrary, cstranslate_a3m,
+                                  default_pc_engine)
+
+    if alphabet and alphabet != "internal":
+        with open(alphabet) as f:
+            lib = ContextLibrary.from_text(f.read())
+    else:
+        lib = ContextLibrary.default_cs219()
+    pc_engine = None
+    if modelfile:
+        pc_engine = default_pc_engine(
+            None if modelfile == "internal" else modelfile)
+    return [(name, cstranslate_a3m(text, lib, w_center=weight_as,
+                                   pc_engine=pc_engine,
+                                   pc_admix=pc_admix, pc_ali=pc_ali))
+            for name, text in items]
+
+
 def cmd_cstranslate(argv: List[str]) -> int:
     """cstranslate -i <in> -o <out> [-f] [-I a3m|ca3m] [-x admix] [-c ali]
     [-A alphabet.lib] [-D context.lib|.crf] [-w weight].
@@ -243,6 +266,7 @@ def cmd_cstranslate(argv: List[str]) -> int:
     informat = "auto"
     pc_admix, pc_ali = 0.90, 12.0
     weight_as = 1000.0
+    threads = 0
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -272,6 +296,9 @@ def cmd_cstranslate(argv: List[str]) -> int:
             informat = argv[i]
         elif a in ("-f", "--ffindex"):
             ffmode = True
+        elif a in ("-cpu", "--threads"):
+            i += 1
+            threads = int(argv[i])
         elif a in ("-v", "--verbose", "-O", "--outformat", "-M",
                    "--match-assign", "-a", "--appendfile"):
             i += 1
@@ -306,17 +333,33 @@ def cmd_cstranslate(argv: List[str]) -> int:
                                      infile + "_sequence.ffindex")
             hdr_db = FFindexDatabase(infile + "_header.ffdata",
                                      infile + "_header.ffindex")
-            with FFindexWriter(outfile + ".ffdata",
-                               outfile + ".ffindex") as w:
-                for name, data in src.items():
-                    a3m = extract_a3m(data, seq_db, hdr_db)
-                    w.add(name, translate(a3m))
+            items = [(name, extract_a3m(data, seq_db, hdr_db))
+                     for name, data in src.items()]
         else:
             src = FFindexDatabase(infile + ".ffdata", infile + ".ffindex")
-            with FFindexWriter(outfile + ".ffdata",
-                               outfile + ".ffindex") as w:
-                for name, data in src.items():
-                    w.add(name, translate(data.decode()))
+            items = [(name, data.decode()) for name, data in src.items()]
+        # parallel fan-out over entries (the cstranslate_mpi role,
+        # src/cs/cstranslate_mpi_app.h: MPQ-dealt entry ranges); one
+        # engine per worker process, input order preserved
+        nproc = threads or min(os.cpu_count() or 1, 8)
+        if nproc > 1 and len(items) > 3:
+            from concurrent.futures import ProcessPoolExecutor
+            from functools import partial
+
+            chunks = [items[k:: nproc] for k in range(nproc)]
+            work = partial(_cstranslate_chunk, alphabet=alphabet,
+                           modelfile=modelfile, pc_admix=pc_admix,
+                           pc_ali=pc_ali, weight_as=weight_as)
+            with ProcessPoolExecutor(max_workers=nproc) as ex:
+                parts = list(ex.map(work, chunks))
+            merged = dict(p for part in parts for p in part)
+            results = [(name, merged[name]) for name, _t in items]
+        else:
+            results = [(name, translate(text)) for name, text in items]
+        with FFindexWriter(outfile + ".ffdata",
+                           outfile + ".ffindex") as w:
+            for name, payload in results:
+                w.add(name, payload)
     else:
         with open(infile) as f:
             seq = translate(f.read())

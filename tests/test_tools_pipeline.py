@@ -73,3 +73,25 @@ def test_hhfilter_neff_byte_identical():
     with open(f"{FIX}/golden_neff3.a3m") as f:
         want = f.read()
     assert out == want
+
+
+def test_cstranslate_pool_matches_serial(tmp_path):
+    """-cpu N fan-out (the cstranslate_mpi role) is byte-identical to
+    the serial path, input order preserved."""
+    import shutil
+
+    from hhsuite_tpu.cli.main import cmd_cstranslate
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures")
+    for ext in ("ffdata", "ffindex"):
+        shutil.copy(f"{fix}/multi_a3m.{ext}", tmp_path / f"in.{ext}")
+    a = str(tmp_path / "ser")
+    b = str(tmp_path / "par")
+    assert cmd_cstranslate(["-f", "-i", str(tmp_path / "in"), "-o", a,
+                            "-x", "0.3", "-c", "4", "-cpu", "1"]) == 0
+    assert cmd_cstranslate(["-f", "-i", str(tmp_path / "in"), "-o", b,
+                            "-x", "0.3", "-c", "4", "-cpu", "4"]) == 0
+    with open(a + ".ffdata", "rb") as f1, open(b + ".ffdata", "rb") as f2:
+        assert f1.read() == f2.read()
+    with open(a + ".ffindex") as f1, open(b + ".ffindex") as f2:
+        assert f1.read() == f2.read()
