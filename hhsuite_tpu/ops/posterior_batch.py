@@ -76,7 +76,7 @@ def _maxplus_scan(m, decay):
     static_argnames=("local", "interpret", "_debug"))
 def fb_mac_batch(qp, qtr_lin, tp, ttr_lin, co, shift, mact,
                  ss_fpow2=None, ss0_fpow2=None, local=True,
-                 interpret=False, _debug=False):
+                 interpret=False, _debug=False, t_L=None):
     """Forward + Backward + MAC for a batch of hits.
 
     qp (Lq+2, 20) f32; qtr_lin (Lq+2, 7) LINEAR-space query transitions
@@ -323,9 +323,15 @@ def fb_mac_batch(qp, qtr_lin, tp, ttr_lin, co, shift, mact,
     # row Lq / column Lt cells compete
     Sm = jnp.where(ok, S_all, -FLT_MAX)
     if not local:
+        # last row + each template's TRUE last column (a padded batch
+        # must not lose the per-template column-Lt end cells)
+        lastcol = (jnp.asarray(t_L, jnp.int32)[:, None]
+                   if t_L is not None else jnp.int32(Lt))
         gmask = jnp.zeros((B, Lq + 1, Wj), bool)
         gmask = gmask.at[:, Lq, :].set(True)
-        gmask = gmask.at[:, :, Lt].set(True)
+        gmask = gmask | (jnp.arange(Wj)[None, None, :]
+                         == (lastcol[..., None] if t_L is not None
+                             else lastcol))
         Sm = jnp.where(gmask, Sm, -FLT_MAX)
     Sm = Sm.at[:, 0, :].set(-FLT_MAX)
     Sm = Sm.at[:, :, 0].set(-FLT_MAX)

@@ -138,6 +138,7 @@ def viterbi_batch(qp, qtr, tp, ttr, cell_off, t_L,
     pq = f32(penalty_gap_query)
     pt = f32(penalty_gap_template)
     iidx = jnp.arange(Wi)
+    tL_vec = jnp.asarray(t_L, jnp.int32)
 
     # ---- pre-skewed scan inputs ----
     si_d = _skew_bij(Si, Lq, Lt, f32(0.0))            # (D, B, Wi)
@@ -250,8 +251,11 @@ def viterbi_batch(qp, qtr, tp, ttr, cell_off, t_L,
         if local:
             cand_on = on_b
         else:
+            # global: only last-ROW and last-COLUMN cells compete
+            # (hhviterbialgorithm.cpp:191-192,461-463); the last column
+            # is each template's TRUE length, not the padded width
             j_of = d - iidx
-            cand_on = on_b & ((j_of[None, :] == Lt)
+            cand_on = on_b & ((j_of[None, :] == tL_vec[:, None])
                               | (iidx[None, :] == Lq))
         cand = jnp.where(cand_on, mm_new, NEG)
         k = jnp.argmax(cand, axis=1)

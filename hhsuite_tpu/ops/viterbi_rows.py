@@ -120,13 +120,21 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
     jm1 = jnp.asarray(np.maximum(jidx - 1, 0).clip(0, Lt + 1))
     j0 = jnp.asarray(jidx.clip(0, Lt + 1))
     ttr_f = ttr.astype(jnp.float32)
+    # channel 7: global-mode last-column mask — 0 at each template's
+    # TRUE last column t_L (hhviterbialgorithm.cpp:461-463 maximizes
+    # over the real last column, not the padded width), -inf elsewhere
+    colmask = jnp.where(
+        jnp.asarray(t_L, jnp.int32)[:, None] == jnp.arange(Wp)[None, :],
+        f32(0.0), NEG)                           # (B, Wp)
     tvec = jnp.stack([
         ttr_f[:, :, M2M][:, jm1], ttr_f[:, :, D2M][:, jm1],
         ttr_f[:, :, I2M][:, jm1], ttr_f[:, :, M2D][:, jm1],
         ttr_f[:, :, D2D][:, jm1],
         ttr_f[:, :, M2I][:, j0], ttr_f[:, :, I2I][:, j0],
-    ], axis=1)                                   # (B, 7, Wp)
-    tvec = jnp.pad(tvec, ((0, Bp - B), (0, 0), (0, 0)))
+        colmask,
+    ], axis=1)                                   # (B, 8, Wp)
+    tvec = jnp.pad(tvec, ((0, Bp - B), (0, 0), (0, 0)),
+                   constant_values=-FLT_MAX)
 
     # padded tail rows (rows-per-step fill) read qtr up to index
     # round_up(Lq, 8), so pad at least one past that
@@ -200,6 +208,7 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
         td2d1 = tv[:, 4]
         tm2i0 = tv[:, 5]
         ti2i0 = tv[:, 6]
+        colmask = tv[:, 7]
 
         # When there is at least one padding lane (Wj < Wp), the value
         # wrapped into lane 0 by the circular roll comes from a padding
@@ -364,8 +373,9 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
             if local:
                 cand = jnp.where(on, mm_row, -FLT_MAX)
             else:
-                cand = jnp.where(on & ((lanes == Lt) | (i == Lq)),
-                                 mm_row, -FLT_MAX)
+                cand = jnp.where(on & (i == Lq), mm_row,
+                                 jnp.where(on, mm_row + colmask,
+                                           -FLT_MAX))
             better = cand > bl_s
             if Lq % R:
                 # rows beyond Lq exist only to fill the last grid step;
@@ -407,7 +417,7 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
             pl.BlockSpec((TB, 8, Wp), lambda b, s: (b, (s * R) // 8, 0)))
         inputs.append(co_add)
     in_specs += [
-        pl.BlockSpec((TB, 7, Wp), lambda b, s: (b, 0, 0)),
+        pl.BlockSpec((TB, 8, Wp), lambda b, s: (b, 0, 0)),
     ]
     inputs += [tvec]
     if not has_co:

@@ -361,10 +361,13 @@ class PosteriorDecoder:
                         q, t, 1, t.L + 1, self.ssw, hit.ssm2,
                         self.S73, self.S37, self.S33)))
 
+            t_Ls = np.array([t.L for _h, t, _c in part], np.int32)
+            if len(t_Ls) < B:
+                t_Ls = np.pad(t_Ls, (0, B - len(t_Ls)))
             score, b_mac, i2, j2, p_mm_d = fb_mac_batch(
                 qp, qtr, tp, ttr, co, np.float32(shift),
                 np.float32(mact), ss_fpow2=ss_f, ss0_fpow2=ss0,
-                local=self.local)
+                local=self.local, t_L=t_Ls)
             kmax = Lq + Lt_pad + 2
             st, ii, jj, post, n, mm_count, empty = mac_walk(
                 b_mac, p_mm_d, i2, j2, kmax=kmax)

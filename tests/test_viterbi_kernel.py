@@ -214,3 +214,34 @@ def test_backtrace_simple():
     # path is monotone
     assert np.all(np.diff(i_steps[1:]) <= 0)
     assert np.all(np.diff(j_steps[1:]) <= 0)
+
+
+def test_global_mode_padding_invariant():
+    """Global-mode argmax must use each template's TRUE last column:
+    padding the template axis (as the search's bucketed batches do)
+    must not change the score or endpoint.  The reference's own
+    hhsearch LOSES these cells to SIMD lane padding (its last-column
+    scan at hhviterbialgorithm.cpp:461-475 runs at the lane group's
+    padded width), so for templates shorter than their lane group it
+    reports lower global scores than its own (unpadded) hhalign on the
+    same pair; this framework follows the unpadded behavior for every
+    pair."""
+    rng = np.random.default_rng(11)
+    Lq, Lt = 40, 23
+    qp, qtr = _rand_hmm(Lq, rng)
+    tp, ttr = _rand_hmm(Lt, rng)
+    co = np.zeros((1, Lq + 1, Lt + 1), bool)
+    s0, i0, j0, _bt = V.viterbi_batch(
+        qp, qtr, tp[None], ttr[None], co,
+        np.array([Lt], np.int32), -0.03, 0.0, 0.0, 0.0, local=False)
+    pad = 17
+    FLT_MAX = np.float32(np.finfo(np.float32).max)
+    tp_p = np.pad(tp, ((0, pad), (0, 0)))
+    ttr_p = np.pad(ttr, ((0, pad), (0, 0)), constant_values=-FLT_MAX)
+    co_p = np.zeros((1, Lq + 1, Lt + 1 + pad), bool)
+    s1, i1, j1, _bt = V.viterbi_batch(
+        qp, qtr, tp_p[None], ttr_p[None], co_p,
+        np.array([Lt], np.int32), -0.03, 0.0, 0.0, 0.0, local=False)
+    assert float(np.asarray(s0)[0]) == float(np.asarray(s1)[0])
+    assert int(np.asarray(i0)[0]) == int(np.asarray(i1)[0])
+    assert int(np.asarray(j0)[0]) == int(np.asarray(j1)[0])
