@@ -73,3 +73,22 @@ def test_hhalign_blocks(align_result):
         agree = sum(1 for a, b in zip(g, w) if a == b) / max(len(w), 1)
         assert agree > 0.9, (g, w)
     assert exact / len(want_l) > 0.85
+
+
+def test_hhalign_oa3m_merge_matches_reference():
+    """-oa3m after hhalign merges the template into the query MSA
+    (hhalign.cpp:658-668); golden produced by a reference binary build:
+    hhalign -i query.a3m -t query.a3m -oa3m ... -nocontxt."""
+    from hhsuite_tpu.apps import write_alignment_a3m
+    from hhsuite_tpu.constants import Parameters
+    from hhsuite_tpu.search.engine import run_hhalign
+
+    par = Parameters.hhalign_defaults()
+    par.nocontxt = True
+    with open(f"{FIX}/query.a3m") as f:
+        query = f.read()
+    _q, _hl, qali = run_hhalign(par, query, [("query.a3m", query)],
+                                "query.a3m")
+    got = write_alignment_a3m(qali)
+    with open(f"{FIX}/golden_hhalign_merge.a3m") as f:
+        assert got == f.read()
