@@ -353,6 +353,28 @@ def fb_mac_batch(qp, qtr_lin, tp, ttr_lin, co, shift, mact,
 
 @functools.partial(
     __import__("jax").jit, static_argnames=("kmax",))
+def mac_walk_packed(b_mac, p_mm, i2, j2, score, kmax):
+    """mac_walk with every output packed into ONE (B, 6 + 4*kmax) f32
+    array: remote-TPU links charge a fixed ~tens-of-ms latency PER
+    device->host transfer, so the realign loop fetches one array per
+    chunk instead of ten.  Layout per row: [score, i2, j2, n, mm_count,
+    empty, st[kmax], ii[kmax], jj[kmax], post[kmax]] — every value is
+    exactly representable in f32 (indices < 2^24, states < 256)."""
+    import jax.numpy as jnp
+
+    st, ii, jj, post, n, mm_count, empty = mac_walk(b_mac, p_mm, i2, j2,
+                                                    kmax=kmax)
+    f32 = jnp.float32
+    cols = [score.astype(f32)[:, None], i2.astype(f32)[:, None],
+            j2.astype(f32)[:, None], n.astype(f32)[:, None],
+            mm_count.astype(f32)[:, None], empty.astype(f32)[:, None],
+            st.astype(f32), ii.astype(f32), jj.astype(f32),
+            post.astype(f32)]
+    return jnp.concatenate(cols, axis=1)
+
+
+@functools.partial(
+    __import__("jax").jit, static_argnames=("kmax",))
 def mac_walk(b_mac, p_mm, i2, j2, kmax):
     """Device MAC backtrace (hhbacktracemac.cpp:111-185) batched over
     lanes, with the path posteriors gathered on device.

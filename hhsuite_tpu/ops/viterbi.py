@@ -366,10 +366,60 @@ def backtrace_walk(bt, i2, j2, kmax):
     return (st.T, ii.T, jj.T, n, matched)
 
 
-def backtrace_walk_host(bt, i2, j2, kmax):
+@functools.partial(
+    __import__("jax").jit, static_argnames=("kmax",))
+def _backtrace_walk_packed(bt, i2, j2, score, kmax):
+    """backtrace_walk with every output packed into ONE f32 array
+    [score, i2, j2, n, matched, st[k], ii[k], jj[k]] per lane: the
+    remote-TPU link charges fixed latency per device->host transfer,
+    so callers fetch once per batch instead of eight times."""
+    import jax.numpy as jnp
+
+    st, ii, jj, n, matched = backtrace_walk(bt, i2, j2, kmax)
+    f32 = jnp.float32
+    cols = [score.astype(f32)[:, None], i2.astype(f32)[:, None],
+            j2.astype(f32)[:, None], n.astype(f32)[:, None],
+            matched.astype(f32)[:, None], st.astype(f32),
+            ii.astype(f32), jj.astype(f32)]
+    return jnp.concatenate(cols, axis=1)
+
+
+def backtrace_walk_host(bt, i2, j2, kmax, score=None):
     """Run :func:`backtrace_walk` and unpack lane ``b`` results in the
     exact format of the scalar :func:`backtrace` (leading placeholder
-    0, end->start order, last state overwritten to MM)."""
+    0, end->start order, last state overwritten to MM).
+
+    With ``score`` given, all outputs (including score/i2/j2) cross
+    the device->host link as one packed array; the unpack callable
+    then grows ``.score``, ``.i2``, ``.j2`` numpy attributes."""
+    if score is not None:
+        packed = np.asarray(_backtrace_walk_packed(bt, i2, j2, score,
+                                                   kmax=kmax))
+        sc_v = packed[:, 0]
+        i2_v = packed[:, 1].astype(np.int32)
+        j2_v = packed[:, 2].astype(np.int32)
+        n = packed[:, 3].astype(np.int32)
+        matched = packed[:, 4].astype(np.int32)
+        st = packed[:, 5: 5 + kmax].astype(np.int8)
+        ii = packed[:, 5 + kmax: 5 + 2 * kmax].astype(np.int32)
+        jj = packed[:, 5 + 2 * kmax: 5 + 3 * kmax].astype(np.int32)
+
+        def unpack(b):
+            nb = int(n[b])
+            i_steps = np.zeros(nb + 1, dtype=np.int32)
+            j_steps = np.zeros(nb + 1, dtype=np.int32)
+            states = np.zeros(nb + 1, dtype=np.int8)
+            i_steps[1:] = ii[b, :nb]
+            j_steps[1:] = jj[b, :nb]
+            states[1:] = st[b, :nb]
+            if nb:
+                states[nb] = MM
+            return i_steps, j_steps, states, int(matched[b])
+
+        unpack.score = sc_v
+        unpack.i2 = i2_v
+        unpack.j2 = j2_v
+        return unpack
     st, ii, jj, n, matched = backtrace_walk(bt, i2, j2, kmax)
     st = np.asarray(st)
     ii = np.asarray(ii)

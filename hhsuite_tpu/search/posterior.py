@@ -327,7 +327,7 @@ class PosteriorDecoder:
         NOT produced (callers must use the host path for -omat).
         Saved-score semantics match ``realign``.
         """
-        from ..ops.posterior_batch import fb_mac_batch, mac_walk
+        from ..ops.posterior_batch import fb_mac_batch, mac_walk_packed
 
         if not items:
             return
@@ -364,23 +364,25 @@ class PosteriorDecoder:
             t_Ls = np.array([t.L for _h, t, _c in part], np.int32)
             if len(t_Ls) < B:
                 t_Ls = np.pad(t_Ls, (0, B - len(t_Ls)))
-            score, b_mac, i2, j2, p_mm_d = fb_mac_batch(
+            score_d, b_mac, i2_d, j2_d, p_mm_d = fb_mac_batch(
                 qp, qtr, tp, ttr, co, np.float32(shift),
                 np.float32(mact), ss_fpow2=ss_f, ss0_fpow2=ss0,
                 local=self.local, t_L=t_Ls)
             kmax = Lq + Lt_pad + 2
-            st, ii, jj, post, n, mm_count, empty = mac_walk(
-                b_mac, p_mm_d, i2, j2, kmax=kmax)
-            score = np.asarray(score)
-            i2 = np.asarray(i2)
-            j2 = np.asarray(j2)
-            st = np.asarray(st)
-            ii = np.asarray(ii)
-            jj = np.asarray(jj)
-            post = np.asarray(post)
-            n = np.asarray(n)
-            mm_count = np.asarray(mm_count)
-            empty = np.asarray(empty)
+            # ONE device->host transfer per chunk (the remote-TPU link
+            # charges fixed latency per fetch, not per byte)
+            packed = np.asarray(mac_walk_packed(b_mac, p_mm_d, i2_d,
+                                                j2_d, score_d, kmax=kmax))
+            score = packed[:, 0]
+            i2 = packed[:, 1].astype(np.int32)
+            j2 = packed[:, 2].astype(np.int32)
+            n = packed[:, 3].astype(np.int32)
+            mm_count = packed[:, 4].astype(np.int32)
+            empty = packed[:, 5].astype(bool)
+            st = packed[:, 6: 6 + kmax].astype(np.int8)
+            ii = packed[:, 6 + kmax: 6 + 2 * kmax].astype(np.int32)
+            jj = packed[:, 6 + 2 * kmax: 6 + 3 * kmax].astype(np.int32)
+            post = packed[:, 6 + 3 * kmax: 6 + 4 * kmax]
 
             for b, (hit, t, _co_h) in enumerate(part):
                 saved = (hit.score, hit.score_ss, hit.score_aass,

@@ -364,13 +364,16 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
             if _on_tpu():
                 # decode the backtrace on device: only the O(B*(Lq+Lt))
                 # step lists cross the device->host link, not the
-                # O(B*Lq*Lt) byte matrices
+                # O(B*Lq*Lt) byte matrices — and everything arrives as
+                # ONE packed transfer (fixed per-fetch link latency)
                 unpack = V.backtrace_walk_host(bt, i2, j2,
-                                               kmax=Lq + Lt_max + 1)
-            score = np.asarray(score)
-            i2 = np.asarray(i2)
-            j2 = np.asarray(j2)
-            if unpack is None:
+                                               kmax=Lq + Lt_max + 1,
+                                               score=score)
+                score, i2, j2 = unpack.score, unpack.i2, unpack.j2
+            else:
+                score = np.asarray(score)
+                i2 = np.asarray(i2)
+                j2 = np.asarray(j2)
                 bt = np.asarray(bt)
 
             for b, tid in enumerate(idxs):

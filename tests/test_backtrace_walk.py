@@ -39,3 +39,29 @@ def test_walk_empty_lane():
     np.testing.assert_array_equal(jh, jw)
     np.testing.assert_array_equal(sh, sw)
     assert mh == mw
+
+
+def test_packed_walk_matches_unpacked():
+    """backtrace_walk_host(score=...) must reproduce the plain path:
+    one packed f32 transfer, identical step lists and scores."""
+    rng = np.random.default_rng(5)
+    Lq = Lt = 24
+    from tests.test_viterbi_kernel import _rand_hmm
+
+    qp, qtr = _rand_hmm(Lq, rng)
+    tp, ttr = _rand_hmm(Lt, rng)
+    co = np.zeros((2, Lq + 1, Lt + 1), bool)
+    tpb = np.stack([tp, tp * 0.9 + 0.1])
+    ttrb = np.stack([ttr, ttr])
+    s, i2, j2, bt = V.viterbi_batch(qp, qtr, tpb, ttrb, co,
+                                    np.full(2, Lt, np.int32),
+                                    -0.03, 0.0, 0.0, 0.0, local=True)
+    kmax = Lq + Lt + 1
+    plain = V.backtrace_walk_host(bt, i2, j2, kmax=kmax)
+    packed = V.backtrace_walk_host(bt, i2, j2, kmax=kmax, score=s)
+    np.testing.assert_allclose(packed.score, np.asarray(s), rtol=0)
+    np.testing.assert_array_equal(packed.i2, np.asarray(i2))
+    np.testing.assert_array_equal(packed.j2, np.asarray(j2))
+    for b in range(2):
+        for x, y in zip(plain(b), packed(b)):
+            np.testing.assert_array_equal(x, y)
