@@ -29,6 +29,22 @@ from .query import (finish_template_hmm, prepare_query_hmm,
 from .viterbi_search import promote_light_hits, viterbi_search
 
 
+def get_database(base: str) -> "HHDatabase":
+    """Process-level HHDatabase cache: batch drivers and long-lived
+    servers reuse one instance per base path so the parsed/prepared
+    template caches stay warm across queries (the reference's
+    hhblits_omp keeps its HHblitsDatabase open for the whole run,
+    src/hhblits_omp.cpp:96-120).  Instances are append-only caches over
+    immutable files, so sharing across worker threads is safe."""
+    db = _DB_CACHE.get(base)
+    if db is None:
+        db = _DB_CACHE[base] = HHDatabase(base)
+    return db
+
+
+_DB_CACHE: Dict[str, "HHDatabase"] = {}
+
+
 class HHDatabase:
     """Multi-file database <base>_{cs219,a3m,hhm}.ff{data,index}
     (src/hhdatabase.cpp:64-130)."""

@@ -63,7 +63,7 @@ def _run_one(args):
     from ..io.alignments import print_alignments
     from ..io.results import print_hit_list, print_m8
     from ..matrices import get_substitution_matrix
-    from ..search.engine import HHDatabase, run_hhsearch
+    from ..search.engine import get_database, run_hhsearch
     from ..search.hhblits import run_hhblits
 
     par = {"hhblits": Parameters.hhblits_defaults,
@@ -83,10 +83,10 @@ def _run_one(args):
                           for t in (template_files or [])]
         q, hitlist, qali = run_hhalign(par, text, template_texts, name)
     elif mode == "hhblits":
-        db = HHDatabase(db_base)
+        db = get_database(db_base)
         q, hitlist, qali = run_hhblits(par, text, db, name)
     else:
-        db = HHDatabase(db_base)
+        db = get_database(db_base)
         q, hitlist = run_hhsearch(par, text, db, name)
     outputs: Dict[str, bytes] = {}
     hhr = (print_hit_list(q, hitlist, par.maxdbstrlen, par.z, par.Z,
