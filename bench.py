@@ -111,6 +111,48 @@ def main():
     }), flush=True)
 
 
+def bench_prefilter():
+    """Stage-1 ungapped-SW prefilter kernel throughput (GCUPS).
+
+    The reference's AVX2 uint8 kernel (hhprefilter.cpp:214-275) runs 32
+    lanes/instruction; its best case is a few tens of GCUPS/socket.
+    Slope-based like the Viterbi metric so link latency cancels."""
+    import jax
+    import jax.numpy as jnp
+
+    if not any(d.platform != "cpu" for d in jax.devices()):
+        return
+    from hhsuite_tpu.ops.prefilter_pallas import ungapped_scores_pallas
+
+    rng = np.random.RandomState(2)
+    NS, Lq, B, Ld = 219, 431, 4096, 256
+    qc = rng.randint(0, 200, (NS + 1, Lq)).astype(np.int32)
+    db = rng.randint(0, NS, (B, Ld)).astype(np.int32)
+    dq = jax.device_put(qc)
+    ddb = jax.device_put(db)
+
+    def fn_many(n):
+        @jax.jit
+        def f(q=dq, d=ddb):
+            acc = jnp.int32(0)
+            for r in range(n):
+                acc = acc + ungapped_scores_pallas(
+                    q, d, None, np.int32(50 + r)).sum()
+            return acc
+        return f
+
+    t_lo = _chained(fn_many, 2)
+    t_hi = _chained(fn_many, 10)
+    t_kernel = max((t_hi - t_lo) / 8, 1e-9)
+    gcups = B * Lq * Ld / t_kernel / 1e9
+    print(json.dumps({
+        "metric": "prefilter_stage1_gcups_per_chip",
+        "value": round(gcups, 1),
+        "unit": "GCUPS",
+        "vs_baseline": round(gcups / 30.0, 4),   # ~30 GCUPS AVX2 uint8
+    }), flush=True)
+
+
 def bench_pairs():
     """End-to-end hhblits -n 1 on the synthetic 512-template DB."""
     from hhsuite_tpu.constants import Parameters
@@ -156,4 +198,5 @@ def bench_pairs():
 
 if __name__ == "__main__":
     main()
+    bench_prefilter()
     bench_pairs()
