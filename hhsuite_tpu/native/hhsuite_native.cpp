@@ -675,6 +675,61 @@ static PyObject *backtrace_score_terms(PyObject *, PyObject *args) {
   return Py_BuildValue("ff", score_ss, corr_term);
 }
 
+/* band_set(co, R, C, pi, pj, n, W, Lq, Lt, value)
+ *   co: writable uint8/bool (R, C) C-contiguous cell-off matrix.
+ *   pi, pj: int64 path steps (monotone alignment path).
+ * Sets co[si-W .. si+W, sj] and co[si, sj-W .. sj+W] = value for every
+ * step, exactly like search/posterior.py:_band_set: per column j the
+ * rows [min_i(j)-W, max_i(j)+W] clamped to [1, Lq], per row i the
+ * columns [min_j(i)-W, max_j(i)+W] clamped to [1, Lt].  This is the
+ * hot part of the Viterbi-band cell-off construction
+ * (hhposteriordecoder.cpp:210-244, hhviterbi.cpp:61-77). */
+static PyObject *band_set_native(PyObject *, PyObject *args) {
+  Py_buffer co_b, pi_b, pj_b;
+  int R, C, W, Lq, Lt, value;
+  if (!PyArg_ParseTuple(args, "w*iiy*y*iiii", &co_b, &R, &C, &pi_b,
+                        &pj_b, &W, &Lq, &Lt, &value))
+    return nullptr;
+  uint8_t *co = (uint8_t *)co_b.buf;
+  const int64_t *pi = (const int64_t *)pi_b.buf;
+  const int64_t *pj = (const int64_t *)pj_b.buf;
+  Py_ssize_t n = pi_b.len / (Py_ssize_t)sizeof(int64_t);
+  uint8_t v = value ? 1 : 0;
+  std::vector<int> min_i((size_t)C, INT32_MAX), max_i((size_t)C, -1);
+  std::vector<int> min_j((size_t)R, INT32_MAX), max_j((size_t)R, -1);
+  for (Py_ssize_t k = 0; k < n; k++) {
+    int i = (int)pi[k], j = (int)pj[k];
+    if (j >= 0 && j < C) {
+      if (i < min_i[j]) min_i[j] = i;
+      if (i > max_i[j]) max_i[j] = i;
+    }
+    if (i >= 0 && i < R) {
+      if (j < min_j[i]) min_j[i] = j;
+      if (j > max_j[i]) max_j[i] = j;
+    }
+  }
+  for (int j = 0; j < C; j++) {
+    if (max_i[j] < 0) continue;
+    int lo = min_i[j] - W, hi = max_i[j] + W;
+    if (lo < 1) lo = 1;
+    if (hi > Lq) hi = Lq;
+    if (hi > R - 1) hi = R - 1;
+    for (int r = lo; r <= hi; r++) co[(size_t)r * C + j] = v;
+  }
+  for (int i = 0; i < R; i++) {
+    if (max_j[i] < 0) continue;
+    int lo = min_j[i] - W, hi = max_j[i] + W;
+    if (lo < 1) lo = 1;
+    if (hi > Lt) hi = Lt;
+    if (hi > C - 1) hi = C - 1;
+    if (hi >= lo) memset(co + (size_t)i * C + lo, v, (size_t)(hi - lo + 1));
+  }
+  PyBuffer_Release(&co_b);
+  PyBuffer_Release(&pi_b);
+  PyBuffer_Release(&pj_b);
+  Py_RETURN_NONE;
+}
+
 static PyMethodDef Methods[] = {
     {"parse_index", parse_index, METH_VARARGS,
      "parse .ffindex text -> list[(name, offset, length)]"},
@@ -690,6 +745,8 @@ static PyMethodDef Methods[] = {
      "reference QSortInt permutation (util.cpp:247-274)"},
     {"backtrace_score_terms", backtrace_score_terms, METH_VARARGS,
      "sequential-f32 score_ss sum + correlation term"},
+    {"band_set", band_set_native, METH_VARARGS,
+     "±W band mask around an alignment path (cell-off construction)"},
     {nullptr, nullptr, 0, nullptr}};
 
 static struct PyModuleDef moduledef = {

@@ -384,6 +384,96 @@ def _backtrace_walk_packed(bt, i2, j2, score, kmax):
     return jnp.concatenate(cols, axis=1)
 
 
+def band_intervals(pi, pj, W: int, Lq: int, Lt: int, n_i: int, n_j: int):
+    """Per-column / per-row ±W band intervals around a monotone path —
+    the compact form of :func:`exclude_alignment_mask`'s region.  A cell
+    (i, j) is inside the band iff lo_c[j] <= i <= hi_c[j] or
+    lo_r[i] <= j <= hi_r[i].  Empty intervals encode as (1, 0).
+    Returns int32 arrays lo_c, hi_c (n_j,), lo_r, hi_r (n_i,)."""
+    pi = np.asarray(pi, dtype=np.int64)
+    pj = np.asarray(pj, dtype=np.int64)
+    BIG = np.int64(1 << 60)
+    min_i = np.full(n_j, BIG, np.int64)
+    max_i = np.full(n_j, -1, np.int64)
+    np.minimum.at(min_i, pj, pi)
+    np.maximum.at(max_i, pj, pi)
+    valid = max_i >= 0
+    lo_c = np.where(valid, np.maximum(1, min_i - W), 1).astype(np.int32)
+    hi_c = np.where(valid, np.minimum(Lq, max_i + W), 0).astype(np.int32)
+    min_j = np.full(n_i, BIG, np.int64)
+    max_j = np.full(n_i, -1, np.int64)
+    np.minimum.at(min_j, pi, pj)
+    np.maximum.at(max_j, pi, pj)
+    valid = max_j >= 0
+    lo_r = np.where(valid, np.maximum(1, min_j - W), 1).astype(np.int32)
+    hi_r = np.where(valid, np.minimum(Lt, max_j + W), 0).astype(np.int32)
+    return lo_c, hi_c, lo_r, hi_r
+
+
+@functools.partial(__import__("jax").jit, static_argnames=())
+def exclusion_mask_device(lo_c, hi_c, lo_r, hi_r):
+    """Build the (B, Li, Wj) bool cell-off mask ON DEVICE from per-path
+    band intervals (lo_c/hi_c (B, P, Wj), lo_r/hi_r (B, P, Li)).
+
+    The altali exclusion masks are O(B*Lq*Lt) bools — ~170 MB per
+    batch — but are fully determined by O(B*P*(Lq+Lt)) intervals, so
+    shipping intervals and broadcasting on device replaces the largest
+    host->device transfer of the search funnel."""
+    import jax.numpy as jnp
+
+    B, P, Wj = lo_c.shape
+    Li = lo_r.shape[2]
+    i_idx = jnp.arange(Li, dtype=jnp.int32)[None, :, None]
+    j_idx = jnp.arange(Wj, dtype=jnp.int32)[None, None, :]
+    mask = jnp.zeros((B, Li, Wj), bool)
+    for p in range(P):      # static; P <= altali-1 <= 3
+        col = ((i_idx >= lo_c[:, p, None, :])
+               & (i_idx <= hi_c[:, p, None, :]))
+        row = ((j_idx >= lo_r[:, p, :, None])
+               & (j_idx <= hi_r[:, p, :, None]))
+        mask = mask | col | row
+    return mask
+
+
+def backtrace_walk_dispatch(bt, i2, j2, score, kmax):
+    """Dispatch the device backtrace walk WITHOUT blocking: returns the
+    device-resident packed array for :func:`backtrace_walk_unpack`.
+    Callers queue several batches before fetching any result, so the
+    per-fetch link latency overlaps the next batch's compute."""
+    return _backtrace_walk_packed(bt, i2, j2, score, kmax=kmax)
+
+
+def backtrace_walk_unpack(packed, kmax):
+    """Fetch + unpack a packed device walk (one transfer per batch);
+    returns the same unpack callable as :func:`backtrace_walk_host`."""
+    packed = np.asarray(packed)
+    sc_v = packed[:, 0]
+    i2_v = packed[:, 1].astype(np.int32)
+    j2_v = packed[:, 2].astype(np.int32)
+    n = packed[:, 3].astype(np.int32)
+    matched = packed[:, 4].astype(np.int32)
+    st = packed[:, 5: 5 + kmax].astype(np.int8)
+    ii = packed[:, 5 + kmax: 5 + 2 * kmax].astype(np.int32)
+    jj = packed[:, 5 + 2 * kmax: 5 + 3 * kmax].astype(np.int32)
+
+    def unpack(b):
+        nb = int(n[b])
+        i_steps = np.zeros(nb + 1, dtype=np.int32)
+        j_steps = np.zeros(nb + 1, dtype=np.int32)
+        states = np.zeros(nb + 1, dtype=np.int8)
+        i_steps[1:] = ii[b, :nb]
+        j_steps[1:] = jj[b, :nb]
+        states[1:] = st[b, :nb]
+        if nb:
+            states[nb] = MM
+        return i_steps, j_steps, states, int(matched[b])
+
+    unpack.score = sc_v
+    unpack.i2 = i2_v
+    unpack.j2 = j2_v
+    return unpack
+
+
 def backtrace_walk_host(bt, i2, j2, kmax, score=None):
     """Run :func:`backtrace_walk` and unpack lane ``b`` results in the
     exact format of the scalar :func:`backtrace` (leading placeholder

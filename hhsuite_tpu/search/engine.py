@@ -45,6 +45,22 @@ def get_database(base: str) -> "HHDatabase":
 _DB_CACHE: Dict[str, "HHDatabase"] = {}
 
 
+def _fast_copy_hmm(t: HMM) -> HMM:
+    """Cache hand-out copy: shallow-copy the HMM shell and privatize
+    exactly the arrays the downstream pipeline mutates in place —
+    ``p`` (include_null_model's odds division, hhhmm.cpp:2059-2144)
+    and ``tr`` (log2lin + realign boundary overrides).  Every other
+    field (f, g, seq, ss_*, Neff_*) is read-only past this point, so
+    sharing them with the cached instance is safe and ~10x cheaper
+    than a deepcopy per template per query."""
+    import copy
+
+    c = copy.copy(t)
+    c.p = t.p.copy()
+    c.tr = t.tr.copy()
+    return c
+
+
 class HHDatabase:
     """Multi-file database <base>_{cs219,a3m,hhm}.ff{data,index}
     (src/hhdatabase.cpp:64-130)."""
@@ -116,16 +132,14 @@ class HHDatabase:
                          use_global_weights: int = 1) -> Tuple[HMM, int]:
         """getTemplateHMM (hhdatabase.cpp:300-455): prefer hhm, then
         compressed a3m, then plain a3m."""
-        import copy
-
         key = self._parse_cache_key(name, par, use_global_weights)
         hit = self._hmm_cache_get(key)
         if hit is not None:
-            return copy.deepcopy(hit[0]), hit[1]
+            return _fast_copy_hmm(hit[0]), hit[1]
         t, fmt = self._load_template_hmm(name, par, mats,
                                          use_global_weights)
         self._hmm_cache_put(key, (t, fmt))
-        return copy.deepcopy(t), fmt
+        return _fast_copy_hmm(t), fmt
 
     def get_template_hmm_prepared(self, name: str, par: Parameters,
                                   mats: SubstitutionMatrix,
@@ -146,12 +160,12 @@ class HHDatabase:
             par.pc_hhm_nocontext_c)
         hit = self._hmm_cache_get(key)
         if hit is not None:
-            return copy.deepcopy(hit[0]), hit[1]
+            return _fast_copy_hmm(hit[0]), hit[1]
         t, fmt = self.get_template_hmm(name, par, mats,
                                        use_global_weights)
         template_pc_stage(par, t, mats, fmt)
         self._hmm_cache_put(key, (t, fmt))
-        return copy.deepcopy(t), fmt
+        return _fast_copy_hmm(t), fmt
 
     def _load_template_hmm(self, name: str, par: Parameters,
                            mats: SubstitutionMatrix,

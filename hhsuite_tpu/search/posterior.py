@@ -90,26 +90,23 @@ def build_realign_cell_off(q: HMM, t: HMM, hit: Hit, par_min_overlap: int,
     Lq, Lt = q.L, t.L
     co = np.zeros((Lq + 1, Lt + 1), dtype=bool)
 
-    # Viterbi::InitializeForAlignment (self == 0 path): min-overlap corners
+    # Viterbi::InitializeForAlignment (self == 0 path): min-overlap
+    # corners.  maskViterbiAlignment then overwrites all of co[1:, 1:],
+    # so only the i=0 row of the first corner loop survives — written
+    # directly (differentially verified against the straight port).
     if par_min_overlap == 0:
         min_overlap = min(60, int(0.333 * min(Lq, Lt)) + 1)
     else:
         min_overlap = min(par_min_overlap, int(0.8 * min(Lq, Lt)))
-    for i in range(0, min_overlap):
-        j0 = i - min_overlap + Lt + 1
-        if j0 <= Lt:
-            co[i, max(j0, 0): Lt + 1] = True
-    for i in range(Lq - min_overlap + 1, Lq + 1):
-        j1 = i + min_overlap - Lq
-        if j1 > 1:
-            co[i, 1: j1] = True
+    j0 = Lt + 1 - min_overlap
+    if j0 <= Lt:
+        co[0, max(j0, 0):] = True
 
-    # maskViterbiAlignment: off everything except UL/LR rectangles ...
-    iidx = np.arange(1, Lq + 1)[:, None]
-    jidx = np.arange(1, Lt + 1)[None, :]
-    keep = ((iidx < hit.i1) & (jidx < hit.j1)) | ((iidx > hit.i2)
-                                                  & (jidx > hit.j2))
-    co[1:, 1:] = ~keep
+    # maskViterbiAlignment: off everything except the upper-left /
+    # lower-right rectangles around the Viterbi endpoints
+    co[1:, 1:] = True
+    co[1: hit.i1, 1: hit.j1] = False
+    co[hit.i2 + 1:, hit.j2 + 1:] = False
     # ... then re-open a ±40 corridor around the Viterbi path.
     # The per-step loop opens rows [si-W, si+W] of column sj (and the
     # transpose); the path is monotone, so per column the step rows are
@@ -127,6 +124,28 @@ def build_realign_cell_off(q: HMM, t: HMM, hit: Hit, par_min_overlap: int,
     return co
 
 
+_BUF_POOL: dict = {}
+
+
+def pooled_buffer(shape, dtype, fill) -> np.ndarray:
+    """Reusable host staging buffer for device-batch inputs.
+
+    Fresh pages on this class of host fault in at ~160 MB/s, so
+    allocating a new 20-80 MB staging array per chunk costs more than
+    the device compute; a pooled buffer refills at memory speed.  Only
+    safe when the JAX backend copies/serializes jit inputs at dispatch
+    (remote/TPU backends do; the CPU backend may alias numpy memory
+    zero-copy) — callers must gate on running on TPU."""
+    key = (tuple(shape), np.dtype(dtype).str)
+    buf = _BUF_POOL.get(key)
+    if buf is None:
+        if len(_BUF_POOL) > 32:      # bound steady-state memory
+            _BUF_POOL.clear()
+        buf = _BUF_POOL[key] = np.empty(shape, dtype)
+    buf.fill(fill)
+    return buf
+
+
 def _band_set(co: np.ndarray, pi, pj, W: int, Lq: int, Lt: int,
               value: bool) -> None:
     """Set co[si-W .. si+W, sj] and co[si, sj-W .. sj+W] = value for
@@ -134,6 +153,15 @@ def _band_set(co: np.ndarray, pi, pj, W: int, Lq: int, Lt: int,
     pi = np.asarray(pi, dtype=np.int64)
     pj = np.asarray(pj, dtype=np.int64)
     if pi.size == 0:
+        return
+    from ..native import load as _load_native
+
+    nat = _load_native()
+    if nat is not None and hasattr(nat, "band_set") \
+            and co.dtype == np.bool_ and co.flags["C_CONTIGUOUS"]:
+        nat.band_set(co, co.shape[0], co.shape[1],
+                     np.ascontiguousarray(pi), np.ascontiguousarray(pj),
+                     W, Lq, Lt, 1 if value else 0)
         return
     # column pass: rows [min_i-W, max_i+W] per column (arrays sized to
     # co, which may be padded wider than Lq+1 x Lt+1)
@@ -315,7 +343,7 @@ class PosteriorDecoder:
 
     def realign_batch_device(self, q: HMM, items, shift: float,
                              mact: float, corr: float,
-                             chunk: int = 64):
+                             chunk: int = 256):
         """Realign a batch of hits with the device F/B/MAC decoder
         (ops/posterior_batch.py): one fb_mac_batch + mac_walk call per
         chunk instead of one scalar decode per hit.
@@ -332,23 +360,45 @@ class PosteriorDecoder:
         if not items:
             return
         Lq = q.L
-        Lt_max = max(t.L for _h, t, _c in items)
-        # bucket shapes so the jit cache stays small; batches are
-        # padded to the full chunk with all-cells-off lanes
-        Lt_pad = -(-max(Lt_max, 128) // 128) * 128
         qp = q.p.astype(np.float32)
         qtr = q.tr.astype(np.float32)
 
+        # sort by template length so per-chunk padding stays tight
+        # (the reference length-sorts for thread utilization,
+        # hhviterbirunner.cpp:117); hit results are written onto the
+        # hit objects so processing order does not matter
+        items = sorted(items, key=lambda it: -it[1].L)
+
+        # Phase 1 — dispatch every chunk; JAX queues the device work
+        # asynchronously, so chunk k+1's compute overlaps chunk k's
+        # device->host fetch in phase 2 (the remote-TPU link charges
+        # fixed latency per fetch, which would otherwise serialize
+        # with the compute)
+        pending = []
         for s in range(0, len(items), chunk):
             part = items[s: s + chunk]
             B = chunk if len(items) > chunk else len(part)
-            tp = np.zeros((B, Lt_pad + 2, 20), np.float32)
-            ttr = np.zeros((B, Lt_pad + 2, NTRANS), np.float32)
-            co = np.ones((B, Lq + 1, Lt_pad + 1), bool)
+            # bucket shapes so the jit cache stays small; batches are
+            # padded to the full chunk with all-cells-off lanes
+            Lt_max = max(t.L for _h, t, _c in part)
+            Lt_pad = -(-max(Lt_max, 128) // 128) * 128
+            # pooled staging buffers: the TPU backend serializes jit
+            # inputs at dispatch, so the same host buffer can be
+            # refilled for the next chunk (tests forcing this path on
+            # the CPU backend get fresh buffers — CPU jax may alias)
+            from .viterbi_search import _on_tpu
+
+            pool = pooled_buffer if _on_tpu() else (
+                lambda sh, dt, fl: np.full(sh, fl, dt))
+            tp = pool((B, Lt_pad + 2, 20), np.float32, 0.0)
+            ttr = pool((B, Lt_pad + 2, NTRANS), np.float32, 0.0)
+            co = pool((B, Lq + 1, Lt_pad + 1), bool, True)
             need_ss = any(h.ssm2 for h, _t, _c in part)
-            ss_f = (np.ones((B, Lq + 1, Lt_pad + 1), np.float32)
-                    if need_ss else None)
-            ss0 = (np.ones((B,), np.float32) if need_ss else None)
+            if need_ss:
+                ss_f = pool((B, Lq + 1, Lt_pad + 1), np.float32, 1.0)
+                ss0 = np.ones((B,), np.float32)
+            else:
+                ss_f = ss0 = None
             for b, (hit, t, co_h) in enumerate(part):
                 tp[b, : t.L + 2] = t.p.astype(np.float32)
                 ttr[b, : t.L + 2] = t.tr.astype(np.float32)
@@ -369,10 +419,14 @@ class PosteriorDecoder:
                 np.float32(mact), ss_fpow2=ss_f, ss0_fpow2=ss0,
                 local=self.local, t_L=t_Ls)
             kmax = Lq + Lt_pad + 2
-            # ONE device->host transfer per chunk (the remote-TPU link
-            # charges fixed latency per fetch, not per byte)
-            packed = np.asarray(mac_walk_packed(b_mac, p_mm_d, i2_d,
-                                                j2_d, score_d, kmax=kmax))
+            packed_d = mac_walk_packed(b_mac, p_mm_d, i2_d, j2_d,
+                                       score_d, kmax=kmax)
+            pending.append((part, kmax, packed_d))
+
+        # Phase 2 — fetch + host-unpack; ONE device->host transfer per
+        # chunk
+        for part, kmax, packed_d in pending:
+            packed = np.asarray(packed_d)
             score = packed[:, 0]
             i2 = packed[:, 1].astype(np.int32)
             j2 = packed[:, 2].astype(np.int32)

@@ -49,13 +49,24 @@ def compute_ss_hmm_mode(q: HMM, templates: List[HMM]) -> int:
     return ss
 
 
-def pack_templates(templates: List[HMM], Lt_max: int
+def pack_templates(templates: List[HMM], Lt_max: int, B: int = 0,
+                   pooled: bool = False
                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Pack template HMMs into padded arrays (HMMSimd::MapHMMVector
-    semantics, hhhmmsimd.cpp:86-160: pad tr with -FLT_MAX, p with 0)."""
-    B = len(templates)
-    tp = np.zeros((B, Lt_max + 2, 20), dtype=np.float32)
-    ttr = np.full((B, Lt_max + 2, 7), -FLT_MAX, dtype=np.float32)
+    semantics, hhhmmsimd.cpp:86-160: pad tr with -FLT_MAX, p with 0).
+
+    ``B`` > len(templates) pads extra all-zero lanes (replaces a later
+    np.pad copy); ``pooled`` reuses host staging buffers — safe only
+    when the JAX backend snapshots jit inputs at dispatch (TPU)."""
+    B = max(B, len(templates))
+    if pooled:
+        from .posterior import pooled_buffer
+
+        tp = pooled_buffer((B, Lt_max + 2, 20), np.float32, 0.0)
+        ttr = pooled_buffer((B, Lt_max + 2, 7), np.float32, -FLT_MAX)
+    else:
+        tp = np.zeros((B, Lt_max + 2, 20), dtype=np.float32)
+        ttr = np.full((B, Lt_max + 2, 7), -FLT_MAX, dtype=np.float32)
     t_L = np.zeros(B, dtype=np.int32)
     for b, t in enumerate(templates):
         L = t.L
@@ -289,7 +300,9 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
 
     if _on_tpu():
         # bigger backtrace-kernel batches amortize per-dispatch latency
-        batch_size = max(batch_size, 128)
+        # AND per-fetch link latency (~30 ms/round-trip on tunneled
+        # TPU): one 512-lane batch needs 1 fetch where 4x128 needs 4
+        batch_size = max(batch_size, 512)
     smin = par.smin
     hits: List[Hit] = []
     # per-template accumulated exclusion paths
@@ -299,6 +312,11 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
     tmpl_list = [t for _, t in templates]
 
     def _run_junk(junk):
+        # Two-phase: dispatch every batch first (JAX queues device work
+        # asynchronously), then fetch + host-unpack — so batch k+1's
+        # device compute overlaps batch k's device->host fetch instead
+        # of serializing dispatch->block->unpack per batch.
+        pending = []
         for bstart in range(0, len(junk), batch_size):
             idxs = junk[bstart: bstart + batch_size]
             batch = [tmpl_list[i] for i in idxs]
@@ -309,12 +327,8 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
             Lt_max = -(-max(t.L for t in batch) // 64) * 64
             nb = len(batch)
             Bp = min(batch_size, 1 << max(0, nb - 1).bit_length())
-            tp, ttr, t_L = pack_templates(batch, Lt_max)
-            if Bp > nb:
-                tp = np.pad(tp, ((0, Bp - nb), (0, 0), (0, 0)))
-                ttr = np.pad(ttr, ((0, Bp - nb), (0, 0), (0, 0)),
-                             constant_values=-FLT_MAX)
-                t_L = np.pad(t_L, (0, Bp - nb))
+            tp, ttr, t_L = pack_templates(batch, Lt_max, B=Bp,
+                                          pooled=_on_tpu())
             # ss_hmm_mode is derived from SS-data availability for every
             # nonzero -ssm (the runner computes it unconditionally,
             # hhviterbirunner.cpp:14-22, and ScoreForBacktrace then
@@ -327,24 +341,47 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
             ss_in_dp = par.ssm == 2 and ss_hmm_mode != NO_SS_INFORMATION
 
             Lq = q.L
-            cell_off = np.zeros((Bp, Lq + 1, Lt_max + 1),
-                                dtype=bool)
-            any_co = False
-            for b, i in enumerate(idxs):
-                for (pi, pj) in exclude.get(i, []):
-                    V.exclude_alignment_mask(cell_off[b], pi, pj,
-                                             Lq, tmpl_list[i].L)
-                    any_co = True
-            if par.exclstr or par.template_exclstr:
-                # region masks also apply to the Viterbi stage
-                # (hhviterbirunner.cpp:156-165)
-                from .posterior import apply_exclstr
-
+            has_excl = any(exclude.get(i) for i in idxs)
+            has_str = bool(par.exclstr or par.template_exclstr)
+            any_co = has_excl or has_str
+            cell_off = None
+            if has_excl and _on_tpu() and not has_str:
+                # build the altali exclusion mask ON DEVICE from band
+                # intervals: ships O(B*P*(Lq+Lt)) int32 instead of the
+                # O(B*Lq*Lt) bool mask (~170 MB/batch over the tunnel)
+                P = max(len(exclude.get(i, [])) for i in idxs)
+                Wj = Lt_max + 1
+                lo_c = np.ones((Bp, P, Wj), np.int32)
+                hi_c = np.zeros((Bp, P, Wj), np.int32)
+                lo_r = np.ones((Bp, P, Lq + 1), np.int32)
+                hi_r = np.zeros((Bp, P, Lq + 1), np.int32)
                 for b, i in enumerate(idxs):
-                    apply_exclstr(cell_off[b], par.exclstr,
-                                  par.template_exclstr, Lq,
-                                  tmpl_list[i].L)
-                any_co = True
+                    for p, (pi, pj) in enumerate(exclude.get(i, [])):
+                        lc, hc, lr, hr = V.band_intervals(
+                            np.asarray(pi)[1:], np.asarray(pj)[1:], 40,
+                            Lq, tmpl_list[i].L, Lq + 1, Wj)
+                        lo_c[b, p] = lc
+                        hi_c[b, p] = hc
+                        lo_r[b, p] = lr
+                        hi_r[b, p] = hr
+                cell_off = V.exclusion_mask_device(lo_c, hi_c,
+                                                   lo_r, hi_r)
+            elif any_co:
+                cell_off = np.zeros((Bp, Lq + 1, Lt_max + 1),
+                                    dtype=bool)
+                for b, i in enumerate(idxs):
+                    for (pi, pj) in exclude.get(i, []):
+                        V.exclude_alignment_mask(cell_off[b], pi, pj,
+                                                 Lq, tmpl_list[i].L)
+                if has_str:
+                    # region masks also apply to the Viterbi stage
+                    # (hhviterbirunner.cpp:156-165)
+                    from .posterior import apply_exclstr
+
+                    for b, i in enumerate(idxs):
+                        apply_exclstr(cell_off[b], par.exclstr,
+                                      par.template_exclstr, Lq,
+                                      tmpl_list[i].L)
 
             ss_batch = None
             if ss_in_dp:
@@ -360,21 +397,28 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                 tp, ttr, cell_off if any_co else None, t_L,
                 float(par.shift), float(par.egq), float(par.egt),
                 ss_batch, bool(par.loc))
-            unpack = None
             if _on_tpu():
                 # decode the backtrace on device: only the O(B*(Lq+Lt))
                 # step lists cross the device->host link, not the
                 # O(B*Lq*Lt) byte matrices — and everything arrives as
-                # ONE packed transfer (fixed per-fetch link latency)
-                unpack = V.backtrace_walk_host(bt, i2, j2,
-                                               kmax=Lq + Lt_max + 1,
-                                               score=score)
+                # ONE packed transfer per batch (fixed per-fetch link
+                # latency), fetched in phase 2
+                packed_d = V.backtrace_walk_dispatch(
+                    bt, i2, j2, score, kmax=Lq + Lt_max + 1)
+                pending.append((idxs, batch, ss_hmm_mode,
+                                (packed_d, Lq + Lt_max + 1)))
+            else:
+                pending.append((idxs, batch, ss_hmm_mode,
+                                (np.asarray(score), np.asarray(i2),
+                                 np.asarray(j2), np.asarray(bt))))
+
+        for idxs, batch, ss_hmm_mode, payload in pending:
+            if len(payload) == 2:
+                unpack = V.backtrace_walk_unpack(*payload)
                 score, i2, j2 = unpack.score, unpack.i2, unpack.j2
             else:
-                score = np.asarray(score)
-                i2 = np.asarray(i2)
-                j2 = np.asarray(j2)
-                bt = np.asarray(bt)
+                unpack = None
+                score, i2, j2, bt = payload
 
             for b, tid in enumerate(idxs):
                 t = batch[b]
@@ -423,19 +467,17 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
         SB = 2048                # one full lanes tile (G=16 x 128)
         qp_f = q.p.astype(np.float32)
         qtr_f = q.tr.astype(np.float32)
+        pending = []             # dispatch all blocks, then fetch
         for s in range(0, len(junk), SB):
             idxs = junk[s: s + SB]
             batch = [tmpl_list[i] for i in idxs]
             # quantise the pad length and fix the sub-batch size so the
             # jit cache stays small across blocks/queries
             Lt_max = max(128, -(-max(t.L for t in batch) // 128) * 128)
-            tp, ttr, t_L = pack_templates(batch, Lt_max)
             nb = len(batch)
-            if nb < SB and len(junk) > SB:
-                tp = np.pad(tp, ((0, SB - nb), (0, 0), (0, 0)))
-                ttr = np.pad(ttr, ((0, SB - nb), (0, 0), (0, 0)),
-                             constant_values=-FLT_MAX)
-                t_L = np.pad(t_L, (0, SB - nb))
+            Bp = SB if (nb < SB and len(junk) > SB) else nb
+            tp, ttr, t_L = pack_templates(batch, Lt_max, B=Bp,
+                                          pooled=not interp)
             ss_hmm_mode = compute_ss_hmm_mode(q, batch) \
                 if par.ssm == 2 else NO_SS_INFORMATION
             kw = {}
@@ -462,7 +504,10 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                     sc = viterbi_score_lanes(qp_f, qtr_f, tp, ttr, t_L,
                                              np.float32(par.shift),
                                              interpret=interp, **kw)
-            scores[s: s + len(idxs)] = np.asarray(sc)[: len(idxs)]
+            pending.append((s, len(idxs), sc))
+        with annotate("viterbi_lanes_sweep"):
+            for s, nidx, sc in pending:
+                scores[s: s + nidx] = np.asarray(sc)[:nidx]
         return scores
 
     def _make_light_hit(tid: int, sc: float) -> Hit:
