@@ -567,10 +567,20 @@ class Alignment:
         n_display = 0
         seqid = min(10, max_seqid)
         dummy = display.copy()
-        while n_display < nseqdis and seqid <= max_seqid:
-            dummy = display.copy()
-            n_display = self.filter2(dummy, coverage, qid, qsc, 20, seqid, 0, S)
-            seqid += 1
+        if np.count_nonzero(dummy[: self.N_in]) < nseqdis:
+            # the seqid relaxation loop can never reach nseqdis (the
+            # display-eligible count bounds every filter2 result), so
+            # it provably runs to completion and keeps the final
+            # filter2(seqid=max_seqid) — run only that one (hhmake on
+            # small MSAs otherwise pays ~80 no-op filter passes)
+            n_display = self.filter2(dummy, coverage, qid, qsc, 20,
+                                     max_seqid, 0, S)
+        else:
+            while n_display < nseqdis and seqid <= max_seqid:
+                dummy = display.copy()
+                n_display = self.filter2(dummy, coverage, qid, qsc, 20,
+                                         seqid, 0, S)
+                seqid += 1
         if n_display > nseqdis:
             # reference backs off two steps from the post-loop seqid
             dummy = display.copy()

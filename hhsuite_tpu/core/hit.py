@@ -90,17 +90,24 @@ def beta_nn(Lqnorm, Ltnorm, Nqnorm, Ntnorm):
     return 1.0 / (1.0 + np.exp(-(b + _BETA_OUT_BIAS)))
 
 
+def _h_evd(x, lamda, mu):
+    """lamda*(x-mu) with f32 input quantization then f64 math
+    (hhhit-inl.h float params); shape-preserving for array inputs."""
+    lam = np.asarray(lamda, np.float32).astype(np.float64)
+    xx = np.asarray(x, np.float32).astype(np.float64)
+    m = np.asarray(mu, np.float32).astype(np.float64)
+    return lam * (xx - m)
+
+
 def pvalue(x, lamda, mu):
     """hhhit-inl.h:44-47 (float inputs, double math)."""
-    h = np.float64(np.float32(lamda)) * (np.float64(np.float32(x))
-                                         - np.float64(np.float32(mu)))
+    h = _h_evd(x, lamda, mu)
     return np.where(h > 10, np.exp(-h), 1.0 - np.exp(-np.exp(-h)))
 
 
 def log_pvalue(x, lamda, mu):
     """hhhit-inl.h:49-53."""
-    h = np.float64(np.float32(lamda)) * (np.float64(np.float32(x))
-                                         - np.float64(np.float32(mu)))
+    h = _h_evd(x, lamda, mu)
     with np.errstate(over="ignore", divide="ignore"):
         # h >> 0 makes the inner term exactly 0.0 and log() -inf; that
         # branch is discarded by the h > 10 selector below
@@ -311,26 +318,39 @@ class HitList:
         self.hits.sort(key=Hit.sort_key)
 
     def calculate_pvalues(self, q, loc: int, ssm: int, ssw: float):
-        """CalculatePvalues (hhhitlist.cpp:499-531)."""
+        """CalculatePvalues (hhhitlist.cpp:499-531); the per-hit NN
+        regressions and EVD P-values run as one batched evaluation over
+        the whole list (same f32 input quantization element-wise)."""
         if self.N_searched == 0:
             self.N_searched = 1
-        for hit in self.hits:
-            if loc:
-                lamda = float(lamda_nn(
-                    np.float32(math.log(q.L) / LOG1000),
-                    np.float32(math.log(hit.L) / LOG1000),
-                    np.float32(q.Neff_HMM / 10.0),
-                    np.float32(hit.Neff_HMM / 10.0))[0])
-                mu = float(mu_nn(
-                    np.float32(math.log(q.L) / LOG1000),
-                    np.float32(math.log(hit.L) / LOG1000),
-                    np.float32(q.Neff_HMM / 10.0),
-                    np.float32(hit.Neff_HMM / 10.0))[0])
-            else:
-                lamda, mu = LAMDA_GLOB, 3.0
-            hit.logPval = float(log_pvalue(hit.score, lamda, mu))
-            hit.Pval = float(pvalue(hit.score, lamda, mu))
-            hit.calc_eval_score_probab(self.N_searched, lamda, loc, ssm, ssw)
+        hits = self.hits
+        if not hits:
+            return
+        n = len(hits)
+        if loc:
+            ql = np.float32(math.log(q.L) / LOG1000)
+            qn = np.float32(q.Neff_HMM / 10.0)
+            # divide in f64 first, THEN quantize to f32 (matches the
+            # scalar np.float32(math.log(L) / LOG1000) order)
+            tl = (np.array([math.log(h.L) for h in hits], np.float64)
+                  / LOG1000).astype(np.float32)
+            tn = (np.array([h.Neff_HMM for h in hits], np.float64)
+                  / 10.0).astype(np.float32)
+            qlv = np.full(n, ql, np.float32)
+            qnv = np.full(n, qn, np.float32)
+            lamda_v = lamda_nn(qlv, tl, qnv, tn)
+            mu_v = mu_nn(qlv, tl, qnv, tn)
+        else:
+            lamda_v = np.full(n, LAMDA_GLOB)
+            mu_v = np.full(n, 3.0)
+        scores = np.array([h.score for h in hits], np.float64)
+        logp_v = log_pvalue(scores, lamda_v, mu_v)
+        pval_v = pvalue(scores, lamda_v, mu_v)
+        for k, hit in enumerate(hits):
+            hit.logPval = float(logp_v[k])
+            hit.Pval = float(pval_v[k])
+            hit.calc_eval_score_probab(self.N_searched, float(lamda_v[k]),
+                                       loc, ssm, ssw)
         self.sort()
 
     def calculate_hhblits_evalues(self, q, dbsize, alphaa, alphab, alphac,

@@ -196,8 +196,13 @@ class HMM:
             pnul = q.pav
         else:
             raise NotImplementedError(f"columnscore {columnscore}")
-        self.p[: self.L + 2] = (self.p[: self.L + 2]
-                                / pnul[None, :]).astype(np.float32)
+        # single-precision division like the reference's float pnul[20]
+        # loop (hhhmm.cpp:2139-2142); also what the device-resident
+        # template pack replays on TPU (IEEE f32 divide, bit-exact)
+        pnul32 = np.asarray(pnul, dtype=np.float32)
+        self.p[: self.L + 2] = (self.p[: self.L + 2].astype(np.float32)
+                                / pnul32[None, :])
+        self.pnul_used = pnul32
         return pnul
 
     def log2lin_transitions(self):

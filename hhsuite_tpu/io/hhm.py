@@ -76,25 +76,34 @@ def write_hhm(q: HMM, pb: np.ndarray, max_seqid=90, coverage=0, qid=0,
     out.append(line)
 
     seqf = q.seq[q.nfirst] if q.nfirst >= 0 else "-" * (q.L + 1)
+    # vectorized fixed-point conversion, same rounding order as the
+    # scalar loop: f32 log2 -> python float (f64) -> *1000 -> floor+0.5
+    L = q.L
+    p_ints = np.minimum(-np.floor(
+        fm.fast_log2(q.p[1: L + 1][:, _S2A20].astype(np.float32))
+        .astype(np.float64) * HMMSCALE + 0.5), 99999).astype(np.int64)
+    tr_ints = np.minimum(
+        -np.floor(q.tr[1: L + 1, : D2D + 1].astype(np.float64)
+                  * HMMSCALE + 0.5), 99999).astype(np.int64)
+    ne_ints = np.floor(np.stack(
+        [np.asarray(q.Neff_M[1: L + 1], np.float64),
+         np.asarray(q.Neff_I[1: L + 1], np.float64),
+         np.asarray(q.Neff_D[1: L + 1], np.float64)], axis=1)
+        * HMMSCALE + 0.5).astype(np.int64)
     h = 1
-    for i in range(1, q.L + 1):
+    for i in range(1, L + 1):
         while h < len(seqf) and seqf[h].islower():
             h += 1
         c = seqf[h] if h < len(seqf) else "-"
         h += 1
-        line = "%1s %-4i " % (c, i)
-        for a in range(20):
-            line += _sout(-_iround(float(fm.fast_log2(
-                np.float32(q.p[i, S2A[a]]))) * HMMSCALE))
-        line += "%-i" % int(q.l[i])
+        row = p_ints[i - 1]
+        line = ("%1s %-4i " % (c, i)
+                + "".join(_sout(v) for v in row.tolist())
+                + "%-i" % int(q.l[i]))
         out.append(line)
-        line = "       "
-        for a in range(D2D + 1):
-            line += _sout(-_iround(float(q.tr[i, a]) * HMMSCALE))
-        line += _sout(_iround(float(q.Neff_M[i]) * HMMSCALE))
-        line += _sout(_iround(float(q.Neff_I[i]) * HMMSCALE))
-        line += _sout(_iround(float(q.Neff_D[i]) * HMMSCALE))
-        out.append(line)
+        out.append("       "
+                   + "".join(_sout(v) for v in tr_ints[i - 1].tolist())
+                   + "".join(_sout(v) for v in ne_ints[i - 1].tolist()))
         out.append("")
     out.append("//")
     return "\n".join(out) + "\n"

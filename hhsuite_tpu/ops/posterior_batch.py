@@ -373,6 +373,96 @@ def mac_walk_packed(b_mac, p_mm, i2, j2, score, kmax):
     return jnp.concatenate(cols, axis=1)
 
 
+@functools.partial(__import__("jax").jit)
+def realign_mask_device(rect, corner_j0, tL,
+                        loF_c, hiF_c, loF_r, hiF_r,
+                        loE_c, hiE_c, loE_r, hiE_r):
+    """Build the realign cell-off corridor ON DEVICE from the compact
+    interval form (search/posterior.py:RealignMaskSpec) — replaces the
+    ~50 MB/chunk bool upload with a few hundred KB of int32 intervals.
+
+    rect (B, 4) int32 = (i1, j1, i2, j2); corner_j0/tL (B,);
+    F intervals (B, Wj) / (B, Li); E intervals (B, P, Wj) / (B, P, Li).
+    Returns (B, Li, Wj) bool (True = cell off)."""
+    import jax.numpy as jnp
+
+    P = loE_c.shape[1]
+    Li = loF_r.shape[1]
+    Wj = loF_c.shape[1]
+    i = jnp.arange(Li, dtype=jnp.int32)[None, :, None]
+    j = jnp.arange(Wj, dtype=jnp.int32)[None, None, :]
+    i1 = rect[:, 0][:, None, None]
+    j1 = rect[:, 1][:, None, None]
+    i2 = rect[:, 2][:, None, None]
+    j2 = rect[:, 3][:, None, None]
+    base = ~(((i < i1) & (j < j1)) | ((i > i2) & (j > j2)))
+    bandF = (((i >= loF_c[:, None, :]) & (i <= hiF_c[:, None, :]))
+             | ((j >= loF_r[:, :, None]) & (j <= hiF_r[:, :, None])))
+    co = base & ~bandF
+    for p in range(P):
+        bandE = (((i >= loE_c[:, p, None, :])
+                  & (i <= hiE_c[:, p, None, :]))
+                 | ((j >= loE_r[:, p, :, None])
+                    & (j <= hiE_r[:, p, :, None])))
+        co = co | bandE
+    # col 0 open, row 0 = corner remnant, padding columns closed
+    co = co.at[:, :, 0].set(False)
+    row0 = j[:, 0, :] >= corner_j0[:, None]
+    co = co.at[:, 0, :].set(row0)
+    co = co | (j > tL[:, None, None])
+    return co
+
+
+@functools.partial(
+    __import__("jax").jit, static_argnames=("kmax",))
+def mac_walk_packed8(b_mac, p_mm, i2, j2, score, kmax):
+    """Minimal-payload MAC walk: ONE int8 array per chunk of
+    [score(4B) i2(2B) j2(2B) n(4B) st[kmax](1B) post[kmax](4B)].
+
+    Step positions are host-reconstructible from the state codes
+    (MM: -1,-1; IM: 0,-1; MI: -1,0; any other code ends the walk), and
+    mm_count / empty derive from the state string (empty <=> n == 0),
+    so only states + path posteriors ship — ~3x smaller than the f32
+    packing on a bandwidth-bound tunneled link."""
+    import jax
+    import jax.numpy as jnp
+
+    st, _ii, _jj, post, n, _mm, _empty = mac_walk(b_mac, p_mm, i2, j2,
+                                                  kmax=kmax)
+
+    def b8(x):
+        return jax.lax.bitcast_convert_type(x, jnp.int8)
+
+    header = jnp.concatenate(
+        [b8(score.astype(jnp.float32)), b8(i2.astype(jnp.int16)),
+         b8(j2.astype(jnp.int16)), b8(n.astype(jnp.int32))], axis=1)
+    return jnp.concatenate(
+        [header, st.astype(jnp.int8),
+         b8(post.astype(jnp.float32)).reshape(st.shape[0], -1)], axis=1)
+
+
+def mac_walk_unpack8(packed, kmax):
+    """Fetch + host-unpack of mac_walk_packed8.  Returns (score, i2,
+    j2, n, mm_count, empty, st, ii, jj, post) with the same semantics
+    as the wide mac_walk outputs."""
+    packed = np.ascontiguousarray(np.asarray(packed))
+    score = packed[:, 0:4].copy().view(np.float32)[:, 0]
+    i2 = packed[:, 4:6].copy().view(np.int16)[:, 0].astype(np.int32)
+    j2 = packed[:, 6:8].copy().view(np.int16)[:, 0].astype(np.int32)
+    n = packed[:, 8:12].copy().view(np.int32)[:, 0]
+    st = packed[:, 12: 12 + kmax]
+    post = packed[:, 12 + kmax:].copy().view(np.float32)
+    di = ((st == MM) | (st == MI)).astype(np.int32)
+    dj = ((st == MM) | (st == IM)).astype(np.int32)
+    ii = i2[:, None] - np.cumsum(di, axis=1) + di
+    jj = j2[:, None] - np.cumsum(dj, axis=1) + dj
+    kidx = np.arange(kmax)[None, :]
+    live = kidx < n[:, None]
+    mm_count = ((st == MM) & live).sum(axis=1)
+    empty = n == 0
+    return score, i2, j2, n, mm_count, empty, st, ii, jj, post
+
+
 @functools.partial(
     __import__("jax").jit, static_argnames=("kmax",))
 def mac_walk(b_mac, p_mm, i2, j2, kmax):

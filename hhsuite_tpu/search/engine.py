@@ -99,10 +99,13 @@ class HHDatabase:
     # parsed-HMM cache: parsing a template HHM/a3m costs ~10-50 ms of
     # host time and the same entry is re-read by the realign pass and
     # by every hhblits round; entries are cached PRE-pseudocounts and
-    # deep-copied on return because prepare_template_hmm mutates in
+    # copied on return because prepare_template_hmm mutates in
     # place (getTemplateHMM re-reads from disk each time instead,
-    # hhdatabase.cpp:300-455)
-    _HMM_CACHE_MAX = 1024
+    # hhdatabase.cpp:300-455).  Capacity must cover the prefilter
+    # survivor set (maxfilt=20000 default) or large queries thrash:
+    # ~160 KB/cached HMM at L=300 -> ~6 GB worst case, well inside the
+    # target hosts' RAM.
+    _HMM_CACHE_MAX = 40000
 
     def _hmm_cache_get(self, key):
         cache = getattr(self, "_hmm_cache", None)
@@ -141,16 +144,12 @@ class HHDatabase:
         self._hmm_cache_put(key, (t, fmt))
         return _fast_copy_hmm(t), fmt
 
-    def get_template_hmm_prepared(self, name: str, par: Parameters,
-                                  mats: SubstitutionMatrix,
-                                  use_global_weights: int = 1
-                                  ) -> Tuple[HMM, int]:
-        """Template with the query-independent pseudocount stage
-        already applied (query.py:template_pc_stage) and cached;
-        callers finish with finish_template_hmm(par, q, t, mats).
-        Saves ~3 ms/template/query across rounds and batch queries."""
-        import copy
-
+    def _prepared_cache_entry(self, name: str, par: Parameters,
+                              mats: SubstitutionMatrix,
+                              use_global_weights: int = 1
+                              ) -> Tuple[HMM, int]:
+        """The cached prepared-template instance itself (NO hand-out
+        copy) — read-only; used by the device-resident template pack."""
         from .query import template_pc_stage
 
         key = self._parse_cache_key(name, par, use_global_weights) + (
@@ -159,12 +158,24 @@ class HHDatabase:
             par.pc_hhm_nocontext_a, par.pc_hhm_nocontext_b,
             par.pc_hhm_nocontext_c)
         hit = self._hmm_cache_get(key)
-        if hit is not None:
-            return _fast_copy_hmm(hit[0]), hit[1]
-        t, fmt = self.get_template_hmm(name, par, mats,
-                                       use_global_weights)
-        template_pc_stage(par, t, mats, fmt)
-        self._hmm_cache_put(key, (t, fmt))
+        if hit is None:
+            t, fmt = self.get_template_hmm(name, par, mats,
+                                           use_global_weights)
+            template_pc_stage(par, t, mats, fmt)
+            self._hmm_cache_put(key, (t, fmt))
+            hit = (t, fmt)
+        return hit
+
+    def get_template_hmm_prepared(self, name: str, par: Parameters,
+                                  mats: SubstitutionMatrix,
+                                  use_global_weights: int = 1
+                                  ) -> Tuple[HMM, int]:
+        """Template with the query-independent pseudocount stage
+        already applied (query.py:template_pc_stage) and cached;
+        callers finish with finish_template_hmm(par, q, t, mats).
+        Saves ~3 ms/template/query across rounds and batch queries."""
+        t, fmt = self._prepared_cache_entry(name, par, mats,
+                                            use_global_weights)
         return _fast_copy_hmm(t), fmt
 
     def _load_template_hmm(self, name: str, par: Parameters,
@@ -224,6 +235,46 @@ class HHDatabase:
                                        nseqdis=par.nseqdis)
 
 
+def get_resident_pack(db, names: List[str], par: Parameters,
+                      mats: SubstitutionMatrix,
+                      use_global_weights: int = 1):
+    """Per-database device-resident raw template pack, incrementally
+    extended with ``names`` (see viterbi_search.ResidentTemplatePack).
+    Rows hold the PRE-null-division prepared templates from the parse
+    cache, so the pack is query-independent and survives across
+    hhblits rounds and batch queries.  Returns None off-TPU / under a
+    mesh (those paths pack per batch)."""
+    from ..parallel.mesh import get_mesh
+    from .viterbi_search import ResidentTemplatePack, _on_tpu
+
+    if not _on_tpu() or get_mesh() is not None:
+        return None
+    key = (use_global_weights, par.nseqdis, par.maxres,
+           par.max_seqid_db, par.coverage_db, par.qid_db, par.qsc_db,
+           par.Ndiff_db, par.max_seqid, par.coverage, par.qid, par.qsc,
+           par.Ndiff, par.M_template, par.Mgaps, par.mark, par.cons,
+           par.showcons, par.maxseq, par.gapb, par.gapd, par.gape,
+           par.gapf, par.gapg, par.gaph, par.gapi,
+           par.pc_hhm_nocontext_mode, par.pc_hhm_nocontext_a,
+           par.pc_hhm_nocontext_b, par.pc_hhm_nocontext_c)
+    packs = db.__dict__.setdefault("_resident_packs", {})
+    pack = packs.get(key)
+    if pack is None:
+        pack = packs[key] = ResidentTemplatePack()
+    items = []
+    for name in names:
+        if name not in pack.row_of:
+            t, _fmt = db._prepared_cache_entry(name, par, mats,
+                                               use_global_weights)
+            items.append((name, t))
+    if items:
+        from ..profiling import annotate
+
+        with annotate("template_pack_upload"):
+            pack.ensure(items)
+    return pack
+
+
 class MultiHHDatabase:
     """Several -d databases presented as one (hhblits.cpp:1165-1175:
     the reference loops `for (size_t i = 0; i < dbs.size(); i++)` over
@@ -279,6 +330,11 @@ class MultiHHDatabase:
     def get_template_hmm_prepared(self, name, par, mats,
                                   use_global_weights=1):
         return self._db_for(name).get_template_hmm_prepared(
+            name, par, mats, use_global_weights)
+
+    def _prepared_cache_entry(self, name, par, mats,
+                              use_global_weights=1):
+        return self._db_for(name)._prepared_cache_entry(
             name, par, mats, use_global_weights)
 
     def get_template_a3m_text(self, name):
@@ -407,6 +463,8 @@ def perform_realign(par: Parameters, q_realign: HMM, hitlist: HitList,
             tmpl[name] = t
         to_excl: Dict[str, List[MACBacktraceResult]] = \
             {name: [] for name in groups}
+        from .posterior import RealignMaskSpec
+        use_spec = not (par.exclstr or par.template_exclstr)
         level = 0
         while True:
             items = []
@@ -415,10 +473,17 @@ def perform_realign(par: Parameters, q_realign: HMM, hitlist: HitList,
                 if level < len(group):
                     hit = group[level]
                     t = tmpl[name]
-                    co = build_realign_cell_off(
-                        q_realign, t, hit, par.min_overlap,
-                        to_excl[name], par.exclstr,
-                        par.template_exclstr)
+                    if use_spec:
+                        # compact interval form; the bool corridor is
+                        # built on device (realign_mask_device)
+                        co = RealignMaskSpec(q_realign, t, hit,
+                                             par.min_overlap,
+                                             to_excl[name])
+                    else:
+                        co = build_realign_cell_off(
+                            q_realign, t, hit, par.min_overlap,
+                            to_excl[name], par.exclstr,
+                            par.template_exclstr)
                     items.append((hit, t, co))
                     names.append(name)
             if not items:
@@ -663,7 +728,9 @@ def run_hhsearch(par: Parameters, query_text: str, db: HHDatabase,
         finish_template_hmm(par, q, t, mats)
         templates.append((name, t))
 
-    hits = viterbi_search(par, q, templates, ss_matrices=ss)
+    rpack = get_resident_pack(db, [n for n, _l in entries], par, mats)
+    hits = viterbi_search(par, q, templates, ss_matrices=ss,
+                          resident_pack=rpack)
     hitlist = HitList()
     hitlist.N_searched = len(entries)
     hitlist.extend(hits)

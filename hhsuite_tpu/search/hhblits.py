@@ -55,7 +55,10 @@ def rescore_previous_hits(par: Parameters, q: HMM, db: HHDatabase,
         finish_template_hmm(par, q, t, mats)
         templates.append((name, t))
 
-    hits_to_add = viterbi_search(par, q, templates, ss_matrices=ss)
+    from .engine import get_resident_pack
+    hits_to_add = viterbi_search(
+        par, q, templates, ss_matrices=ss,
+        resident_pack=get_resident_pack(db, entry_names, par, mats))
     for h in hits_to_add:
         key = f"{h.file}__{h.irep}"
         hit_cur = previous_hits.get(key)
@@ -161,7 +164,10 @@ def run_hhblits(par: Parameters, query_text: str, db: HHDatabase,
             finish_template_hmm(par, q, t, mats)
             templates.append((name, t))
 
-        hits = viterbi_search(par, q, templates, ss_matrices=ss)
+        from .engine import get_resident_pack
+        rpack = get_resident_pack(db, entry_names, par, mats)
+        hits = viterbi_search(par, q, templates, ss_matrices=ss,
+                              resident_pack=rpack)
         hitlist.extend(hits)
         hitlist.sort()
         hitlist.calculate_pvalues(q, par.loc, par.ssm, par.ssw)
@@ -193,8 +199,11 @@ def run_hhblits(par: Parameters, query_text: str, db: HHDatabase,
                         name, par, mats, use_global_weights=1)
                     finish_template_hmm(par, q, t, mats)
                     old_templates.append((name, t))
-                hitlist.extend(viterbi_search(par, q, old_templates,
-                                              ss_matrices=ss))
+                from .engine import get_resident_pack
+                hitlist.extend(viterbi_search(
+                    par, q, old_templates, ss_matrices=ss,
+                    resident_pack=get_resident_pack(
+                        db, old_entry_names, par, mats)))
                 hitlist.sort()
                 hitlist.calculate_pvalues(q, par.loc, par.ssm, par.ssw)
                 if par.prefilter:

@@ -80,6 +80,43 @@ def apply_exclstr(co: np.ndarray, exclstr: Optional[str],
     return co
 
 
+class RealignMaskSpec:
+    """Compact interval form of build_realign_cell_off's mask, for
+    on-device construction (fb_mac batches otherwise upload ~50 MB of
+    bool corridor per chunk over the tunneled link).
+
+    co(i>=1, j>=1) = (base & ~bandF) | bandE with
+      base  = NOT((i < i1 & j < j1) | (i > i2 & j > j2)),
+      bandF = the ±40 Viterbi-path band (column/row intervals),
+      bandE = union of ±2 bands around previously excluded MAC paths;
+    col 0 forced open(False), row 0 = the min-overlap corner remnant
+    (j >= corner_j0), padding columns j > Lt closed."""
+
+    __slots__ = ("i1", "j1", "i2", "j2", "corner_j0", "Lt",
+                 "F", "E")
+
+    def __init__(self, q: HMM, t: HMM, hit: Hit, par_min_overlap: int,
+                 alignments_to_exclude: List[MACBacktraceResult]):
+        from ..ops.viterbi import band_intervals
+
+        Lq, Lt = q.L, t.L
+        if par_min_overlap == 0:
+            min_overlap = min(60, int(0.333 * min(Lq, Lt)) + 1)
+        else:
+            min_overlap = min(par_min_overlap, int(0.8 * min(Lq, Lt)))
+        self.i1, self.j1 = int(hit.i1), int(hit.j1)
+        self.i2, self.j2 = int(hit.i2), int(hit.j2)
+        self.corner_j0 = max(Lt + 1 - min_overlap, 0)
+        self.Lt = Lt
+        self.F = band_intervals(hit.i[1: hit.nsteps + 1],
+                                hit.j[1: hit.nsteps + 1], 40, Lq, Lt,
+                                Lq + 1, Lt + 1)
+        self.E = [band_intervals(np.asarray(al.alt_i),
+                                 np.asarray(al.alt_j), 2, Lq, Lt,
+                                 Lq + 1, Lt + 1)
+                  for al in alignments_to_exclude]
+
+
 def build_realign_cell_off(q: HMM, t: HMM, hit: Hit, par_min_overlap: int,
                            alignments_to_exclude: List[MACBacktraceResult],
                            exclstr: Optional[str] = None,
@@ -355,7 +392,8 @@ class PosteriorDecoder:
         NOT produced (callers must use the host path for -omat).
         Saved-score semantics match ``realign``.
         """
-        from ..ops.posterior_batch import fb_mac_batch, mac_walk_packed
+        from ..ops.posterior_batch import (fb_mac_batch, mac_walk_packed8,
+                                           mac_walk_unpack8)
 
         if not items:
             return
@@ -392,7 +430,45 @@ class PosteriorDecoder:
                 lambda sh, dt, fl: np.full(sh, fl, dt))
             tp = pool((B, Lt_pad + 2, 20), np.float32, 0.0)
             ttr = pool((B, Lt_pad + 2, NTRANS), np.float32, 0.0)
-            co = pool((B, Lq + 1, Lt_pad + 1), bool, True)
+            use_spec = isinstance(part[0][2], RealignMaskSpec)
+            if use_spec:
+                # assemble the interval form; the bool corridor is
+                # built on device (ops.posterior_batch.
+                # realign_mask_device), ~100x less host->device traffic
+                Wj = Lt_pad + 1
+                P = max((len(s.E) for _h, _t, s in part), default=0)
+                rect = np.zeros((B, 4), np.int32)
+                corner = np.zeros(B, np.int32)
+                tLv = np.zeros(B, np.int32)
+                loF_c = np.ones((B, Wj), np.int32)
+                hiF_c = np.zeros((B, Wj), np.int32)
+                loF_r = np.ones((B, Lq + 1), np.int32)
+                hiF_r = np.zeros((B, Lq + 1), np.int32)
+                loE_c = np.ones((B, P, Wj), np.int32)
+                hiE_c = np.zeros((B, P, Wj), np.int32)
+                loE_r = np.ones((B, P, Lq + 1), np.int32)
+                hiE_r = np.zeros((B, P, Lq + 1), np.int32)
+                for b, (_h, t, s) in enumerate(part):
+                    rect[b] = (s.i1, s.j1, s.i2, s.j2)
+                    corner[b] = s.corner_j0
+                    tLv[b] = s.Lt
+                    lc, hc, lr, hr = s.F
+                    loF_c[b, : s.Lt + 1] = lc
+                    hiF_c[b, : s.Lt + 1] = hc
+                    loF_r[b] = lr
+                    hiF_r[b] = hr
+                    for p, (lc, hc, lr, hr) in enumerate(s.E):
+                        loE_c[b, p, : s.Lt + 1] = lc
+                        hiE_c[b, p, : s.Lt + 1] = hc
+                        loE_r[b, p] = lr
+                        hiE_r[b, p] = hr
+                from ..ops.posterior_batch import realign_mask_device
+
+                co = realign_mask_device(rect, corner, tLv,
+                                         loF_c, hiF_c, loF_r, hiF_r,
+                                         loE_c, hiE_c, loE_r, hiE_r)
+            else:
+                co = pool((B, Lq + 1, Lt_pad + 1), bool, True)
             need_ss = any(h.ssm2 for h, _t, _c in part)
             if need_ss:
                 ss_f = pool((B, Lq + 1, Lt_pad + 1), np.float32, 1.0)
@@ -402,7 +478,8 @@ class PosteriorDecoder:
             for b, (hit, t, co_h) in enumerate(part):
                 tp[b, : t.L + 2] = t.p.astype(np.float32)
                 ttr[b, : t.L + 2] = t.tr.astype(np.float32)
-                co[b, :, : t.L + 1] = co_h
+                if not use_spec:
+                    co[b, :, : t.L + 1] = co_h
                 if need_ss and hit.ssm2:
                     m = self._ss_matrix(q, t, hit.ssm2)
                     ss_f[b, :, : t.L + 1] = fm.fpow2(
@@ -419,24 +496,15 @@ class PosteriorDecoder:
                 np.float32(mact), ss_fpow2=ss_f, ss0_fpow2=ss0,
                 local=self.local, t_L=t_Ls)
             kmax = Lq + Lt_pad + 2
-            packed_d = mac_walk_packed(b_mac, p_mm_d, i2_d, j2_d,
-                                       score_d, kmax=kmax)
+            packed_d = mac_walk_packed8(b_mac, p_mm_d, i2_d, j2_d,
+                                        score_d, kmax=kmax)
             pending.append((part, kmax, packed_d))
 
         # Phase 2 — fetch + host-unpack; ONE device->host transfer per
         # chunk
         for part, kmax, packed_d in pending:
-            packed = np.asarray(packed_d)
-            score = packed[:, 0]
-            i2 = packed[:, 1].astype(np.int32)
-            j2 = packed[:, 2].astype(np.int32)
-            n = packed[:, 3].astype(np.int32)
-            mm_count = packed[:, 4].astype(np.int32)
-            empty = packed[:, 5].astype(bool)
-            st = packed[:, 6: 6 + kmax].astype(np.int8)
-            ii = packed[:, 6 + kmax: 6 + 2 * kmax].astype(np.int32)
-            jj = packed[:, 6 + 2 * kmax: 6 + 3 * kmax].astype(np.int32)
-            post = packed[:, 6 + 3 * kmax: 6 + 4 * kmax]
+            (score, i2, j2, n, mm_count, empty, st, ii,
+             jj, post) = mac_walk_unpack8(packed_d, kmax)
 
             for b, (hit, t, _co_h) in enumerate(part):
                 saved = (hit.score, hit.score_ss, hit.score_aass,

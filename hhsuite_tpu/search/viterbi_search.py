@@ -12,6 +12,7 @@ with per-template cell-off masks.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Dict, List, Optional, Tuple
 
@@ -173,25 +174,30 @@ def calculate_early_stop(par: Parameters, q: HMM,
 
     from ..core.hit import lamda_nn, log_pvalue, mu_nn
 
-    total = 0.0
+    if not junk_hits:
+        return 0.0
     LOG1000 = math.log(1000.0)
     log_dbsize = math.log(max(par.dbsize, 1))
     log_pcut = math.log(par.prefilter_evalue_thresh / max(par.dbsize, 1))
     q_len = math.log(q.L) / LOG1000
     q_neff = q.Neff_HMM / 10.0
-    for h in junk_hits:
-        hit_len = math.log(max(h.L, 1)) / LOG1000
-        hit_neff = h.Neff_HMM / 10.0
-        lam = float(lamda_nn(q_len, hit_len, q_neff, hit_neff)[0])
-        mu = float(mu_nn(q_len, hit_len, q_neff, hit_neff)[0])
-        logp = float(log_pvalue(h.score, lam, mu))
-        alpha = 0.0
-        if par.prefilter:
-            alpha = par.alphaa + par.alphab * (hit_neff - 1) \
-                * (1 - par.alphac * (q_neff - 1))
-        eval_ = math.exp(logp + log_dbsize + alpha * log_pcut)
-        total += 1.0 / (1.0 + eval_)
-    return total
+    n = len(junk_hits)
+    hit_len = np.array([math.log(max(h.L, 1)) for h in junk_hits],
+                       np.float64) / LOG1000
+    hit_neff = np.array([h.Neff_HMM for h in junk_hits],
+                        np.float64) / 10.0
+    scores = np.array([h.score for h in junk_hits], np.float64)
+    qlv = np.full(n, q_len)
+    qnv = np.full(n, q_neff)
+    lam = lamda_nn(qlv, hit_len, qnv, hit_neff)
+    mu = mu_nn(qlv, hit_len, qnv, hit_neff)
+    logp = log_pvalue(scores, lam, mu)
+    alpha = np.float64(0.0)
+    if par.prefilter:
+        alpha = par.alphaa + par.alphab * (hit_neff - 1) \
+            * (1 - par.alphac * (q_neff - 1))
+    eval_ = np.exp(logp + log_dbsize + alpha * log_pcut)
+    return float(np.sum(1.0 / (1.0 + eval_)))
 
 
 def _on_tpu() -> bool:
@@ -271,10 +277,132 @@ def _dispatch_kernel(qp, qtr, tp, ttr, cell_off, t_L, shift, egq, egt,
                            egq, egt, ss_score=ss_batch, local=local)
 
 
+class ResidentTemplatePack:
+    """Device-resident RAW template arrays, bucketed by padded length,
+    incrementally grown and cached per database.
+
+    The altali loop re-aligns the same templates up to ``par.altali``
+    times, the two-pass funnel sweeps them once more, and iterative
+    hhblits rounds / batch queries hit overlapping survivor sets;
+    shipping packed (B, Lt+2, 20/7) arrays per batch re-serializes the
+    same ~hundreds of MB through the host->device link every pass.
+    Instead each template's arrays upload ONCE (length-bucketed so
+    padding stays tight) and every batch is an on-device gather by row
+    index — the per-batch upload shrinks to an int32 index vector plus
+    a (B, 20) null-model vector.
+
+    Query independence: rows hold the template profile BEFORE the
+    null-model division (include_null_model, hhhmm.cpp:2059-2144 —
+    the only query-dependent template stage).  The per-template pnul
+    vectors are computed on host exactly like include_null_model and
+    the division runs on device per batch (f32 IEEE divide == numpy's,
+    bit-exact), so the same resident rows serve every query/round.
+
+    Capacity grows by doubling; shapes are power-of-two quantized so
+    the jit cache sees a handful of signatures, not one per query.
+    """
+
+    def __init__(self, bucket: int = 128):
+        self.bucket_size = bucket
+        self.row_of: Dict[str, Tuple[int, int]] = {}   # name -> (b,row)
+        self.buckets: Dict[int, dict] = {}
+
+    def _bucket_for(self, L: int) -> int:
+        b = self.bucket_size
+        return max(b, -(-L // b) * b)
+
+    def ensure(self, items: List[Tuple[str, HMM]]):
+        """Upload any templates not yet resident.  ``items`` are
+        (name, PRE-division HMM) — e.g. the parsed-HMM cache entries
+        from get_template_hmm_prepared, read-only."""
+        import jax
+
+        new_by_bucket: Dict[int, List[Tuple[str, HMM]]] = {}
+        for name, t in items:
+            if name not in self.row_of:
+                new_by_bucket.setdefault(self._bucket_for(t.L),
+                                         []).append((name, t))
+        for Lt_pad, new in new_by_bucket.items():
+            bk = self.buckets.get(Lt_pad)
+            have = bk["used"] if bk else 0
+            need = have + len(new)
+            cap = bk["cap"] if bk else 0
+            if need + 1 > cap:       # +1 for the null row
+                new_cap = max(16, 1 << (need + 1).bit_length())
+                tp = np.zeros((new_cap, Lt_pad + 2, 20), np.float32)
+                ttr = np.full((new_cap, Lt_pad + 2, 7), -FLT_MAX,
+                              np.float32)
+                t_L = np.zeros(new_cap, np.int32)
+                if bk is not None:
+                    tp[:have] = bk["tp_h"][:have]
+                    ttr[:have] = bk["ttr_h"][:have]
+                    t_L[:have] = bk["t_L_h"][:have]
+                bk = self.buckets[Lt_pad] = {
+                    "tp_h": tp, "ttr_h": ttr, "t_L_h": t_L,
+                    "used": have, "cap": new_cap}
+            for name, t in new:
+                row = bk["used"]
+                L = t.L
+                bk["tp_h"][row, : L + 1] = t.p[: L + 1]
+                bk["ttr_h"][row, : L + 1] = t.tr[: L + 1]
+                bk["t_L_h"][row] = L
+                bk["used"] = row + 1
+                self.row_of[name] = (Lt_pad, row)
+            bk["tp"] = jax.device_put(bk["tp_h"])
+            bk["ttr"] = jax.device_put(bk["ttr_h"])
+            bk["t_L"] = jax.device_put(bk["t_L_h"])
+
+    def gather_args(self, Lt_pad: int, names: List[str], Bp: int):
+        """(tp_all, ttr_all, tL_all, idx) for a fused gather+kernel
+        call; idx padded to Bp lanes with the null (all-padding) row,
+        which is any row >= used (zero profile / -inf transitions)."""
+        bk = self.buckets[Lt_pad]
+        idx = np.full(Bp, bk["cap"] - 1, dtype=np.int32)
+        for k, name in enumerate(names):
+            idx[k] = self.row_of[name][1]
+        return bk["tp"], bk["ttr"], bk["t_L"], idx
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("local", "tb"))
+def _gathered_rows_kernel(qp, qtr, tp_all, ttr_all, tL_all, idx, pnul,
+                          cell_off, shift, local=True, tb=32,
+                          ss_batch=None):
+    """On-device gather from the resident pack + null-model division
+    (include_null_model's f32 divide, hhhmm.cpp:2139-2142) + backtrace
+    kernel."""
+    from ..ops.viterbi_rows import viterbi_batch_rows
+
+    tp = tp_all[idx] / pnul[:, None, :]
+    return viterbi_batch_rows(qp, qtr, tp, ttr_all[idx],
+                              cell_off, tL_all[idx], shift,
+                              ss_score=ss_batch, local=local, tb=tb)
+
+
+@functools.partial(
+    __import__("jax").jit, static_argnames=("interpret",))
+def _gathered_lanes_kernel(qp, qtr, tp_all, ttr_all, tL_all, idx, pnul,
+                           shift, interpret=False, ss_lut=None,
+                           ss_qidx=None, ss_tidx=None):
+    """On-device gather + null-model division + score-only lanes
+    sweep."""
+    from ..ops.viterbi_lanes import viterbi_score_lanes
+
+    kw = {}
+    if ss_lut is not None:
+        kw = dict(ss_lut=ss_lut, ss_qidx=ss_qidx, ss_tidx=ss_tidx)
+    return viterbi_score_lanes(qp, qtr, tp_all[idx] / pnul[:, None, :],
+                               ttr_all[idx], tL_all[idx], shift,
+                               interpret=interpret, **kw)
+
+
 def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                    ss_matrices=None, batch_size: int = 32,
                    self_names: Optional[set] = None,
-                   allow_funnel: bool = True) -> List[Hit]:
+                   allow_funnel: bool = True,
+                   resident_pack: Optional[ResidentTemplatePack] = None
+                   ) -> List[Hit]:
     """Align query against prepared template HMMs, with the altali loop.
 
     ``templates``: list of (entry_name, prepared HMM).  Returns all hits
@@ -311,24 +439,79 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
     alive = list(range(len(templates)))
     tmpl_list = [t for _, t in templates]
 
+    from ..parallel.mesh import get_mesh
+
+    import os as _os
+
+    pack = None
+    pack_names: List[str] = []
+    pack_pnul: Optional[np.ndarray] = None
+    if (_on_tpu() and get_mesh() is None and par.egq == 0.0
+            and par.egt == 0.0
+            and not _os.environ.get("HHSUITE_TPU_NO_RESIDENT_PACK")):
+        from ..profiling import annotate
+
+        with annotate("template_pack_upload"):
+            names = [str(n) for n, _t in templates]
+            if resident_pack is not None and \
+                    all(n in resident_pack.row_of for n in names):
+                # engine-cached raw pack: rows are pre-division, the
+                # per-template pnul vectors replay include_null_model
+                # on device
+                pack = resident_pack
+                pack_names = names
+                pack_pnul = np.stack(
+                    [np.asarray(t.pnul_used, np.float32)
+                     for _n, t in templates])
+            else:
+                # local fallback (hhalign, promote passes): rows are
+                # the already-divided arrays, division is a no-op
+                pack = ResidentTemplatePack()
+                pack_names = [f"\x00{i}" for i in range(len(tmpl_list))]
+                pack.ensure(list(zip(pack_names, tmpl_list)))
+                pack_pnul = np.ones((len(tmpl_list), 20), np.float32)
+
+    def _pnul_lanes(idxs: List[int], Bp: int) -> np.ndarray:
+        out = np.ones((Bp, 20), np.float32)
+        out[: len(idxs)] = pack_pnul[idxs]
+        return out
+
     def _run_junk(junk):
         # Two-phase: dispatch every batch first (JAX queues device work
         # asynchronously), then fetch + host-unpack — so batch k+1's
         # device compute overlaps batch k's device->host fetch instead
         # of serializing dispatch->block->unpack per batch.
         pending = []
-        for bstart in range(0, len(junk), batch_size):
-            idxs = junk[bstart: bstart + batch_size]
+        if pack is not None:
+            # resident-pack path: group by length bucket, batches are
+            # on-device gathers (no per-batch template upload)
+            by_bucket: Dict[int, List[int]] = {}
+            for i in junk:
+                by_bucket.setdefault(pack.row_of[pack_names[i]][0],
+                                     []).append(i)
+            batches = [(lt, ids[s: s + batch_size])
+                       for lt in sorted(by_bucket, reverse=True)
+                       for ids in (by_bucket[lt],)
+                       for s in range(0, len(ids), batch_size)]
+        else:
+            batches = [(None, junk[s: s + batch_size])
+                       for s in range(0, len(junk), batch_size)]
+        for bucket_lt, idxs in batches:
             batch = [tmpl_list[i] for i in idxs]
             # quantize the padded shapes (template length to 64 columns,
             # batch to a power-of-2 bucket) so the jit cache sees a
             # handful of shapes instead of one per batch — XLA compiles
             # at ~10 s/shape, which otherwise dwarfs the compute
-            Lt_max = -(-max(t.L for t in batch) // 64) * 64
             nb = len(batch)
             Bp = min(batch_size, 1 << max(0, nb - 1).bit_length())
-            tp, ttr, t_L = pack_templates(batch, Lt_max, B=Bp,
-                                          pooled=_on_tpu())
+            if bucket_lt is not None:
+                Lt_max = bucket_lt
+                tp_all, ttr_all, tL_all, gidx = pack.gather_args(
+                    bucket_lt, [pack_names[i] for i in idxs], Bp)
+            else:
+                Lt_max = -(-max(t.L for t in batch) // 64) * 64
+                tp, ttr, t_L = pack_templates(batch, Lt_max, B=Bp,
+                                              pooled=_on_tpu())
             # ss_hmm_mode is derived from SS-data availability for every
             # nonzero -ssm (the runner computes it unconditionally,
             # hhviterbirunner.cpp:14-22, and ScoreForBacktrace then
@@ -392,18 +575,30 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                                        S73, S37, S33)
                     ss_batch[b, :, : t.L + 1] = m
 
-            score, i2, j2, bt = _dispatch_kernel(
-                q.p.astype(np.float32), q.tr.astype(np.float32),
-                tp, ttr, cell_off if any_co else None, t_L,
-                float(par.shift), float(par.egq), float(par.egt),
-                ss_batch, bool(par.loc))
+            if bucket_lt is not None:
+                from ..profiling import annotate
+
+                with annotate("viterbi_backtrace_pass"):
+                    score, i2, j2, bt = _gathered_rows_kernel(
+                        q.p.astype(np.float32), q.tr.astype(np.float32),
+                        tp_all, ttr_all, tL_all, gidx,
+                        _pnul_lanes(idxs, Bp),
+                        cell_off if any_co else None,
+                        np.float32(par.shift), local=bool(par.loc),
+                        tb=32, ss_batch=ss_batch)
+            else:
+                score, i2, j2, bt = _dispatch_kernel(
+                    q.p.astype(np.float32), q.tr.astype(np.float32),
+                    tp, ttr, cell_off if any_co else None, t_L,
+                    float(par.shift), float(par.egq), float(par.egt),
+                    ss_batch, bool(par.loc))
             if _on_tpu():
-                # decode the backtrace on device: only the O(B*(Lq+Lt))
-                # step lists cross the device->host link, not the
-                # O(B*Lq*Lt) byte matrices — and everything arrives as
-                # ONE packed transfer per batch (fixed per-fetch link
-                # latency), fetched in phase 2
-                packed_d = V.backtrace_walk_dispatch(
+                # decode the backtrace on device: only an int8 state
+                # string + header crosses the device->host link per
+                # lane (positions rebuilt host-side), not the
+                # O(B*Lq*Lt) byte matrices — ONE packed transfer per
+                # batch, fetched in phase 2
+                packed_d = V._backtrace_walk_packed8(
                     bt, i2, j2, score, kmax=Lq + Lt_max + 1)
                 pending.append((idxs, batch, ss_hmm_mode,
                                 (packed_d, Lq + Lt_max + 1)))
@@ -414,7 +609,7 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
 
         for idxs, batch, ss_hmm_mode, payload in pending:
             if len(payload) == 2:
-                unpack = V.backtrace_walk_unpack(*payload)
+                unpack = V.backtrace_walk_unpack8(*payload)
                 score, i2, j2 = unpack.score, unpack.i2, unpack.j2
             else:
                 unpack = None
@@ -467,25 +662,46 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
         SB = 2048                # one full lanes tile (G=16 x 128)
         qp_f = q.p.astype(np.float32)
         qtr_f = q.tr.astype(np.float32)
+        # chunking: plain SB slices, or (resident pack) per length
+        # bucket so gathers draw from one bucket array at a time;
+        # `positions` maps each chunk back into the junk-ordered
+        # scores array
+        if pack is not None:
+            by_bucket: Dict[int, List[int]] = {}
+            for posn, i in enumerate(junk):
+                by_bucket.setdefault(pack.row_of[pack_names[i]][0],
+                                     []).append(posn)
+            chunks = [(lt, poss[s: s + SB])
+                      for lt in sorted(by_bucket, reverse=True)
+                      for poss in (by_bucket[lt],)
+                      for s in range(0, len(poss), SB)]
+        else:
+            chunks = [(None, list(range(s, min(s + SB, len(junk)))))
+                      for s in range(0, len(junk), SB)]
         pending = []             # dispatch all blocks, then fetch
-        for s in range(0, len(junk), SB):
-            idxs = junk[s: s + SB]
+        for bucket_lt, positions in chunks:
+            idxs = [junk[p] for p in positions]
             batch = [tmpl_list[i] for i in idxs]
             # quantise the pad length and fix the sub-batch size so the
             # jit cache stays small across blocks/queries
-            Lt_max = max(128, -(-max(t.L for t in batch) // 128) * 128)
             nb = len(batch)
-            Bp = SB if (nb < SB and len(junk) > SB) else nb
-            tp, ttr, t_L = pack_templates(batch, Lt_max, B=Bp,
-                                          pooled=not interp)
+            if bucket_lt is not None:
+                # gathers are free to pad: quantize lanes to a power
+                # of two for jit-cache stability
+                Bp = min(SB, 1 << max(0, nb - 1).bit_length())
+                Lt_max = bucket_lt
+            else:
+                Bp = SB if (nb < SB and len(junk) > SB) else nb
+                Lt_max = max(128, -(-max(t.L for t in batch) // 128)
+                             * 128)
             ss_hmm_mode = compute_ss_hmm_mode(q, batch) \
                 if par.ssm == 2 else NO_SS_INFORMATION
             kw = {}
             if ss_hmm_mode != NO_SS_INFORMATION:
                 lut, qidx, tidx = build_ss_lut(
                     q, batch, ss_hmm_mode, par.ssw, S73, S37, S33, Lt_max)
-                if tidx.shape[0] < tp.shape[0]:
-                    tidx = np.pad(tidx, ((0, tp.shape[0] - tidx.shape[0]),
+                if tidx.shape[0] < Bp:
+                    tidx = np.pad(tidx, ((0, Bp - tidx.shape[0]),
                                          (0, 0)))
                 kw = dict(ss_lut=lut, ss_qidx=qidx, ss_tidx=tidx)
             # default lane_groups=16 (2 vregs of ILP per ALU op) works
@@ -496,18 +712,30 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
 
             with annotate("viterbi_lanes_sweep"):
                 if get_mesh() is not None:
+                    tp, ttr, t_L = pack_templates(batch, Lt_max, B=Bp,
+                                                  pooled=not interp)
                     sc = sharded_lanes_scores(qp_f, qtr_f, tp, ttr, t_L,
                                               np.float32(par.shift),
                                               ss_kw=kw or None,
                                               interpret=interp)
+                elif bucket_lt is not None and not kw:
+                    tp_all, ttr_all, tL_all, gidx = pack.gather_args(
+                        bucket_lt, [pack_names[i] for i in idxs], Bp)
+                    sc = _gathered_lanes_kernel(
+                        qp_f, qtr_f, tp_all, ttr_all, tL_all, gidx,
+                        _pnul_lanes(idxs, Bp),
+                        np.float32(par.shift), interpret=interp)
                 else:
+                    tp, ttr, t_L = pack_templates(batch, Lt_max, B=Bp,
+                                                  pooled=not interp)
                     sc = viterbi_score_lanes(qp_f, qtr_f, tp, ttr, t_L,
                                              np.float32(par.shift),
                                              interpret=interp, **kw)
-            pending.append((s, len(idxs), sc))
+            pending.append((positions, nb, sc))
         with annotate("viterbi_lanes_sweep"):
-            for s, nidx, sc in pending:
-                scores[s: s + nidx] = np.asarray(sc)[:nidx]
+            for positions, nidx, sc in pending:
+                scores[np.asarray(positions, dtype=np.int64)] = \
+                    np.asarray(sc)[:nidx]
         return scores
 
     def _make_light_hit(tid: int, sc: float) -> Hit:
