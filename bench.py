@@ -1,30 +1,30 @@
-"""Benchmark: (1) Viterbi DP-cell throughput (GCUPS) of the search
-funnel's scoring sweep on one chip, and (2) end-to-end hhblits
-profile-pairs/s on a synthetic 512-template family database, with a
-host/device stage split.
-
-The search runs a two-pass funnel: the template-lanes score-only kernel
-sweeps every prefiltered template (this is the stage that scales with
-database size), then only the few hundred display/realign candidates are
-re-run through the backtrace kernel (viterbi_rows).  The headline metric
-is the scoring sweep's DP-cell throughput at a realistic operating point
-(1024 templates x 511x511 profiles).
+"""Benchmarks: (1) Viterbi DP-cell throughput (GCUPS) of the scoring
+sweep, (2) stage-1 prefilter GCUPS, (3) mesh scaling efficiency on a
+virtual device mesh, and (4) end-to-end hhblits profile-pairs/s at TWO
+operating points — 512 templates (funnel-degenerate, fixed overhead
+dominated) and 8192 templates with a long-tail length mix (the regime
+the funnel/batch design targets).
 
 Prints one JSON line per metric {"metric", "value", "unit",
-"vs_baseline"}.  Baselines:
-  * GCUPS: hhblits-AVX2 best case ~10 GCUPS/socket (BASELINE.md
-    derived estimate).
-  * pairs/s: the reference hhblits binary (built from /root/reference
-    with -O3, AVX2) timed on the SAME database (built by our tools,
-    interchange-format compatible) on this host's 2-core Xeon @2.1 GHz:
-    512 templates / 3.51 s = 145.9 pairs/s (-nocontxt -n 1 -cpu 2).
-Timing of the kernel metric is slope-based (many kernel invocations
-chained inside one jit call, two different counts) so fixed
-dispatch/transfer latency of remote-TPU setups cancels out.
+"vs_baseline"}; the LAST line is the headline 512-template pairs/s
+(comparable across rounds).  Baselines:
+  * GCUPS: hhblits-AVX2 best case ~10 GCUPS/socket (BASELINE.md).
+  * pairs/s 512: reference hhblits binary (built from /root/reference,
+    -O3 AVX2) on the SAME database on this host's 2-core Xeon:
+    512/3.51 s = 145.9 pairs/s (-nocontxt -n 1 -cpu 2).
+  * pairs/s 8192: same binary, same flags, on the same 8192-template
+    DB built by tools/benchdb.py (length_mix): best-of-3 6.58 s =
+    1244.4 pairs/s (prefilter passes ~7.1k, realign caps at 500).
+End-to-end numbers are best-of-3 after a warmup run; the first-run
+wall (compile + parse + upload) is reported as its own line.
+Kernel metrics are slope-based (two chained-invocation counts) so
+fixed dispatch/transfer latency of remote-TPU setups cancels out.
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -36,7 +36,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       "/root/.cache/jax_comp")
 
 BASELINE_GCUPS = 10.0
-BASELINE_PAIRS_PER_S = 145.9     # reference hhblits, same DB, this host
+BASELINE_PAIRS_PER_S = 145.9      # reference hhblits, 512-template DB
+BASELINE_PAIRS_PER_S_8K = 1244.4  # reference hhblits, 8192-template DB
 BENCH_DB_DIR = os.environ.get("HHSUITE_TPU_BENCHDB", "/tmp/hhsuite_benchdb")
 
 
@@ -153,50 +154,159 @@ def bench_prefilter():
     }), flush=True)
 
 
-def bench_pairs():
-    """End-to-end hhblits -n 1 on the synthetic 512-template DB."""
+def bench_scaling():
+    """Mesh scaling efficiency of the sharded scoring sweep at 1 vs 8
+    VIRTUAL CPU devices (xla_force_host_platform_device_count).
+
+    CPU devices cannot prove TPU speedup; this measures that the
+    sharded funnel's dispatch/partition overhead stays small — the
+    efficiency term the BASELINE.md north star asks to track (>=85%
+    at 2 hosts).  Runs in a subprocess so the TPU backend here is
+    untouched."""
+    code = r"""
+import os, time, json
+# the axon TPU plugin's sitecustomize force-updates jax_platforms, so
+# the env var alone is not enough (same dance as tests/conftest.py)
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import jax
+from hhsuite_tpu.parallel.mesh import make_mesh, use_mesh, \
+    sharded_prefilter_scores
+from hhsuite_tpu.ops import prefilter as pf
+
+# the sharded stage-1 prefilter sweep (pure lax.scan, compiles
+# natively on CPU devices — no interpret-mode noise)
+rng = np.random.RandomState(5)
+NS, Lq, B, Ld = 219, 256, 16384, 256
+qc = rng.randint(0, 200, (NS + 1, Lq)).astype(np.int32)
+db = rng.randint(0, NS, (B, Ld)).astype(np.int32)
+ln = np.full(B, Ld, np.int32)
+off = np.int32(50)
+
+
+def timed(n_dev):
+    def once():
+        if n_dev == 1:    # get_mesh() maps 1-device meshes to None
+            return pf.ungapped_scores(qc, db, ln, off)
+        with use_mesh(make_mesh(n_dev)):
+            return sharded_prefilter_scores(pf.ungapped_scores, qc,
+                                            db, ln, off)
+    np.asarray(once())
+    best = 1e30
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(once())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+t1 = timed(1)
+t8 = timed(8)
+print(json.dumps({"t1": t1, "t8": t8}))
+"""
+    try:
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=8")
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=900,
+                           cwd=os.path.dirname(os.path.abspath(__file__)),
+                           env=env)
+        line = [ln for ln in r.stdout.splitlines()
+                if ln.startswith("{")][-1]
+        d = json.loads(line)
+        # virtual CPU devices share the same cores, so wall time cannot
+        # shrink; efficiency here = t1 / t8 (overhead ratio of the
+        # 8-way partitioned program vs single-device)
+        eff = d["t1"] / max(d["t8"], 1e-9)
+        print(json.dumps({
+            "metric": "mesh_scaling_efficiency_8dev_virtual",
+            "value": round(eff, 4),
+            "unit": "ratio_t1_over_t8",
+            "vs_baseline": round(eff / 0.85, 4),
+        }), flush=True)
+    except Exception as e:
+        print(json.dumps({
+            "metric": "mesh_scaling_efficiency_8dev_virtual",
+            "value": 0.0, "unit": f"error:{type(e).__name__}",
+            "vs_baseline": 0.0}), flush=True)
+
+
+def _run_pairs_point(n_templates, base, query, baseline, label,
+                     length_mix=False):
     from hhsuite_tpu.constants import Parameters
     from hhsuite_tpu.profiling import (disable_stage_timers,
                                        enable_stage_timers)
     from hhsuite_tpu.search.engine import get_database
     from hhsuite_tpu.search.hhblits import run_hhblits
-    from hhsuite_tpu.tools.benchdb import build_bench_db
-
-    os.makedirs(BENCH_DB_DIR, exist_ok=True)
-    base = os.path.join(BENCH_DB_DIR, "bench")
-    n_templates = 512
-    query = build_bench_db(base, n_templates=n_templates)
 
     def run():
-        # get_database keeps the parsed/prepared template caches warm
-        # across queries, like a persistent batch server
         par = Parameters.hhblits_defaults()
         par.nocontxt = True
         par.num_rounds = 1
         return run_hhblits(par, query, get_database(base), "query.a3m")
 
-    run()                       # warmup: jit compiles + parse caches
-    timers = enable_stage_timers()
     t0 = time.perf_counter()
-    run()
-    wall = time.perf_counter() - t0
-    disable_stage_timers()
-
-    device_s = sum(v for k, v in timers.items()
-                   if k.startswith(("viterbi", "prefilter", "posterior")))
-    pairs = n_templates / wall
+    run()                       # warmup: compiles + parse caches
+    first = time.perf_counter() - t0
     print(json.dumps({
-        "metric": "hhblits_pairs_per_s",
+        "metric": f"first_run_wall_s_{label}",
+        "value": round(first, 2),
+        "unit": "s (compile+parse+upload)",
+        "vs_baseline": 0.0,
+    }), flush=True)
+    run()
+    best = 1e30
+    timers = {}
+    for _ in range(3):
+        tmr = enable_stage_timers()
+        t0 = time.perf_counter()
+        run()
+        wall = time.perf_counter() - t0
+        disable_stage_timers()
+        if wall < best:
+            best, timers = wall, dict(tmr)
+    device_s = sum(v for k, v in timers.items()
+                   if k.startswith(("viterbi", "prefilter", "posterior",
+                                    "template_pack")))
+    pairs = n_templates / best
+    return {
+        "metric": f"hhblits_pairs_per_s{'' if label == '512' else '_' + label}",
         "value": round(pairs, 2),
         "unit": "pairs/s",
-        "vs_baseline": round(pairs / BASELINE_PAIRS_PER_S, 4),
-        "wall_s": round(wall, 3),
+        "vs_baseline": round(pairs / baseline, 4),
+        "wall_s": round(best, 3),
         "device_stage_s": round(device_s, 3),
-        "host_s": round(wall - device_s, 3),
-    }), flush=True)
+        "host_s": round(best - device_s, 3),
+    }
+
+
+def bench_pairs():
+    """End-to-end hhblits -n 1 at the 512- and 8192-template points."""
+    from hhsuite_tpu.tools.benchdb import build_bench_db
+
+    os.makedirs(BENCH_DB_DIR, exist_ok=True)
+    base = os.path.join(BENCH_DB_DIR, "bench")
+    query = build_bench_db(base, n_templates=512)
+
+    base8 = os.path.join(BENCH_DB_DIR, "bench8k")
+    query8 = build_bench_db(base8, n_templates=8192, length_mix=True)
+    line8 = _run_pairs_point(8192, base8, query8,
+                             BASELINE_PAIRS_PER_S_8K, "8192",
+                             length_mix=True)
+    print(json.dumps(line8), flush=True)
+
+    line = _run_pairs_point(512, base, query, BASELINE_PAIRS_PER_S,
+                            "512")
+    print(json.dumps(line), flush=True)
 
 
 if __name__ == "__main__":
     main()
     bench_prefilter()
+    bench_scaling()
     bench_pairs()

@@ -223,10 +223,13 @@ class Hit:
         self.ncons = t.ncons
         self.L = t.L
         self.Neff_HMM = t.Neff_HMM
-        self.ss_dssp = t.ss_dssp.copy()
-        self.ss_pred = t.ss_pred.copy()
-        self.ss_conf = t.ss_conf.copy()
-        self.sa_dssp = t.sa_dssp.copy()
+        # shared read-only views: nothing downstream writes to a hit's
+        # SS arrays (display/scoring only index them), and per-hit
+        # copies cost ~40 us x tens of thousands of hits
+        self.ss_dssp = t.ss_dssp
+        self.ss_pred = t.ss_pred
+        self.ss_conf = t.ss_conf
+        self.sa_dssp = t.sa_dssp
 
     def calc_eval_score_probab(self, N_searched, lamda, loc, ssm, ssw):
         """CalcEvalScoreProbab (hhhit.h:136-147)."""

@@ -730,6 +730,55 @@ static PyObject *band_set_native(PyObject *, PyObject *args) {
   Py_RETURN_NONE;
 }
 
+/* band_intervals(pi, pj, n, W, Lq, Lt, lo_c, hi_c, n_j, lo_r, hi_r, n_i)
+ * Fill the ±W per-column / per-row band intervals around a path into
+ * caller-provided int32 arrays (pre-filled lo=1, hi=0 = empty). */
+static PyObject *band_intervals_native(PyObject *, PyObject *args) {
+  Py_buffer pi_b, pj_b, loc_b, hic_b, lor_b, hir_b;
+  int W, Lq, Lt, n_j, n_i;
+  if (!PyArg_ParseTuple(args, "y*y*iiiw*w*iw*w*i", &pi_b, &pj_b, &W,
+                        &Lq, &Lt, &loc_b, &hic_b, &n_j, &lor_b, &hir_b,
+                        &n_i))
+    return nullptr;
+  const int64_t *pi = (const int64_t *)pi_b.buf;
+  const int64_t *pj = (const int64_t *)pj_b.buf;
+  Py_ssize_t n = pi_b.len / (Py_ssize_t)sizeof(int64_t);
+  int32_t *lo_c = (int32_t *)loc_b.buf, *hi_c = (int32_t *)hic_b.buf;
+  int32_t *lo_r = (int32_t *)lor_b.buf, *hi_r = (int32_t *)hir_b.buf;
+  std::vector<int> min_i((size_t)n_j, INT32_MAX), max_i((size_t)n_j, -1);
+  std::vector<int> min_j((size_t)n_i, INT32_MAX), max_j((size_t)n_i, -1);
+  for (Py_ssize_t k = 0; k < n; k++) {
+    int i = (int)pi[k], j = (int)pj[k];
+    if (j >= 0 && j < n_j) {
+      if (i < min_i[j]) min_i[j] = i;
+      if (i > max_i[j]) max_i[j] = i;
+    }
+    if (i >= 0 && i < n_i) {
+      if (j < min_j[i]) min_j[i] = j;
+      if (j > max_j[i]) max_j[i] = j;
+    }
+  }
+  for (int j = 0; j < n_j; j++) {
+    if (max_i[j] < 0) { lo_c[j] = 1; hi_c[j] = 0; continue; }
+    int lo = min_i[j] - W, hi = max_i[j] + W;
+    lo_c[j] = lo < 1 ? 1 : lo;
+    hi_c[j] = hi > Lq ? Lq : hi;
+  }
+  for (int i = 0; i < n_i; i++) {
+    if (max_j[i] < 0) { lo_r[i] = 1; hi_r[i] = 0; continue; }
+    int lo = min_j[i] - W, hi = max_j[i] + W;
+    lo_r[i] = lo < 1 ? 1 : lo;
+    hi_r[i] = hi > Lt ? Lt : hi;
+  }
+  PyBuffer_Release(&pi_b);
+  PyBuffer_Release(&pj_b);
+  PyBuffer_Release(&loc_b);
+  PyBuffer_Release(&hic_b);
+  PyBuffer_Release(&lor_b);
+  PyBuffer_Release(&hir_b);
+  Py_RETURN_NONE;
+}
+
 static PyMethodDef Methods[] = {
     {"parse_index", parse_index, METH_VARARGS,
      "parse .ffindex text -> list[(name, offset, length)]"},
@@ -747,6 +796,8 @@ static PyMethodDef Methods[] = {
      "sequential-f32 score_ss sum + correlation term"},
     {"band_set", band_set_native, METH_VARARGS,
      "±W band mask around an alignment path (cell-off construction)"},
+    {"band_intervals", band_intervals_native, METH_VARARGS,
+     "±W band intervals around an alignment path (compact mask form)"},
     {nullptr, nullptr, 0, nullptr}};
 
 static struct PyModuleDef moduledef = {

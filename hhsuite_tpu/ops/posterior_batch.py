@@ -450,13 +450,15 @@ def mac_walk_unpack8(packed, kmax):
     i2 = packed[:, 4:6].copy().view(np.int16)[:, 0].astype(np.int32)
     j2 = packed[:, 6:8].copy().view(np.int16)[:, 0].astype(np.int32)
     n = packed[:, 8:12].copy().view(np.int32)[:, 0]
-    st = packed[:, 12: 12 + kmax]
-    post = packed[:, 12 + kmax:].copy().view(np.float32)
+    nmax = max(int(n.max()) if n.size else 0, 1)
+    st = packed[:, 12: 12 + nmax]
+    post = packed[:, 12 + kmax: 12 + kmax + 4 * nmax].copy().view(
+        np.float32)
     di = ((st == MM) | (st == MI)).astype(np.int32)
     dj = ((st == MM) | (st == IM)).astype(np.int32)
     ii = i2[:, None] - np.cumsum(di, axis=1) + di
     jj = j2[:, None] - np.cumsum(dj, axis=1) + dj
-    kidx = np.arange(kmax)[None, :]
+    kidx = np.arange(nmax)[None, :]
     live = kidx < n[:, None]
     mm_count = ((st == MM) & live).sum(axis=1)
     empty = n == 0

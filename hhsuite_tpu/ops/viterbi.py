@@ -456,7 +456,8 @@ def backtrace_walk_unpack8(packed, kmax):
     i2_v = packed[:, 4:6].copy().view(np.int16)[:, 0].astype(np.int32)
     j2_v = packed[:, 6:8].copy().view(np.int16)[:, 0].astype(np.int32)
     n = packed[:, 8:12].copy().view(np.int32)[:, 0]
-    st = packed[:, 12:]
+    nmax = int(n.max()) if n.size else 0
+    st = packed[:, 12: 12 + max(nmax, 1)]
     di = ((st == MM) | (st == DG) | (st == MI)).astype(np.int32)
     dj = ((st == MM) | (st == GD) | (st == IM)).astype(np.int32)
     ii = i2_v[:, None] - np.cumsum(di, axis=1) + di
@@ -490,6 +491,18 @@ def band_intervals(pi, pj, W: int, Lq: int, Lt: int, n_i: int, n_j: int):
     Returns int32 arrays lo_c, hi_c (n_j,), lo_r, hi_r (n_i,)."""
     pi = np.asarray(pi, dtype=np.int64)
     pj = np.asarray(pj, dtype=np.int64)
+    from ..native import load as _load_native
+
+    nat = _load_native()
+    if nat is not None and hasattr(nat, "band_intervals"):
+        lo_c = np.empty(n_j, np.int32)
+        hi_c = np.empty(n_j, np.int32)
+        lo_r = np.empty(n_i, np.int32)
+        hi_r = np.empty(n_i, np.int32)
+        nat.band_intervals(np.ascontiguousarray(pi),
+                           np.ascontiguousarray(pj), W, Lq, Lt,
+                           lo_c, hi_c, n_j, lo_r, hi_r, n_i)
+        return lo_c, hi_c, lo_r, hi_r
     BIG = np.int64(1 << 60)
     min_i = np.full(n_j, BIG, np.int64)
     max_i = np.full(n_j, -1, np.int64)

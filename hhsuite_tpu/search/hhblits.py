@@ -145,7 +145,8 @@ def run_hhblits(par: Parameters, query_text: str, db: HHDatabase,
                     par.pc_prefilter_nocontext_c)
             q_tmp.calculate_aa_background(mats.pb)
             new_pairs, old_pairs = prefilter_db(
-                par, q_tmp, lib, cs_names, cs_seqs, previous_hits)
+                par, q_tmp, lib, cs_names, cs_seqs, previous_hits,
+                cache_key=getattr(db, "base", None))
             entry_names = [name for (_l, name) in new_pairs]
             old_entry_names = [name for (_l, name) in old_pairs]
         else:

@@ -61,6 +61,67 @@ def pack_db(seqs: List[bytes], Ld_max: int) -> Tuple[np.ndarray, np.ndarray]:
     return db, ln
 
 
+_DB_PACK_CACHE: dict = {}
+
+
+def _resident_db(cache_key: str, seqs):
+    """Length-bucketed cs219 DB packs resident on device, built once
+    per database and reused across queries/rounds (the reference mmaps
+    the whole cs219 data once, src/hhprefilter.cpp:314-335; here the
+    equivalent is a one-time host->device upload)."""
+    import jax
+
+    ent = _DB_PACK_CACHE.get(cache_key)
+    if ent is not None and ent["n"] == len(seqs):
+        return ent
+    order = np.argsort([len(s) for s in seqs], kind="stable")
+    buckets = []
+    bucket = 2048
+    for i in range(0, len(order), bucket):
+        idx = order[i: i + bucket]
+        group = [seqs[j] for j in idx]
+        Ld_max = max(1, max(len(s) for s in group))
+        db, ln = pack_db(group, Ld_max)
+        buckets.append({"idx": idx, "pos": {int(j): k
+                                            for k, j in enumerate(idx)},
+                        "db": jax.device_put(db),
+                        "ln": jax.device_put(ln)})
+    if len(_DB_PACK_CACHE) > 8:
+        _DB_PACK_CACHE.clear()
+    ent = _DB_PACK_CACHE[cache_key] = {"n": len(seqs),
+                                       "buckets": buckets}
+    return ent
+
+
+def _bucketed_resident(scores_fn, qc, ent, subset, n_total, *args):
+    """Run a kernel over the resident buckets (optionally a subset of
+    sequence indices, device-gathered) — dispatch all buckets first,
+    fetch after."""
+    out = np.zeros(n_total, dtype=np.int32)
+    pending = []
+    sub_set = None if subset is None else set(int(x) for x in subset)
+    for bk in ent["buckets"]:
+        if sub_set is None:
+            sc = scores_fn(qc, bk["db"], bk["ln"], *args)
+            pending.append((bk["idx"], None, sc))
+        else:
+            rows = [bk["pos"][j] for j in bk["idx"] if int(j) in sub_set]
+            if not rows:
+                continue
+            take = np.asarray([int(bk["idx"][r]) for r in rows])
+            Bp = 1 << max(0, len(rows) - 1).bit_length()
+            pos = np.zeros(Bp, np.int32)
+            pos[: len(rows)] = rows
+            db_sub = bk["db"][pos]         # on-device gather
+            ln_sub = bk["ln"][pos]
+            sc = scores_fn(qc, db_sub, ln_sub, *args)
+            pending.append((take, len(rows), sc))
+    for idx, nrows, sc in pending:
+        sc = np.asarray(sc)
+        out[idx] = sc if nrows is None else sc[:nrows]
+    return out
+
+
 def _bucketed(scores_fn, qc, seqs, *args):
     """Run a kernel over length buckets, returning (N,) scores.
 
@@ -91,15 +152,28 @@ def _bucketed(scores_fn, qc, seqs, *args):
 
 def prefilter_db(par: Parameters, q_tmp: HMM, lib: ContextLibrary,
                  names: List[str], seqs: List[bytes],
-                 previous_hit_names: Optional[set] = None
+                 previous_hit_names: Optional[set] = None,
+                 cache_key: Optional[str] = None
                  ) -> Tuple[List[Tuple[int, str]], List[Tuple[int, str]]]:
     """Prefilter::prefilter_db (hhprefilter.cpp:430-606).
 
-    Returns (new_hits, old_hits) as (length, name) pairs in funnel order.
+    Returns (new_hits, old_hits) as (length, name) pairs in funnel
+    order.  ``cache_key`` (e.g. the database base path) enables the
+    device-resident cs219 pack reused across queries/rounds.
     """
     from ..profiling import annotate
 
     previous_hit_names = previous_hit_names or set()
+    resident = None
+    if cache_key is not None:
+        try:
+            import jax
+
+            from ..parallel.mesh import get_mesh
+            if jax.devices()[0].platform != "cpu" and get_mesh() is None:
+                resident = _resident_db(cache_key, seqs)
+        except Exception:
+            resident = None
     qc = build_query_profile(q_tmp, lib, par.prefilter_score_offset,
                              par.prefilter_bit_factor).astype(np.int32)
     LQ = q_tmp.L
@@ -118,8 +192,13 @@ def prefilter_db(par: Parameters, q_tmp: HMM, lib: ContextLibrary,
     except Exception:
         pass
     with annotate("prefilter_stage1_ungapped"):
-        raw1 = _bucketed(stage1, qc, seqs,
-                         np.int32(par.prefilter_score_offset))
+        if resident is not None:
+            raw1 = _bucketed_resident(
+                stage1, qc, resident, None, num_dbs,
+                np.int32(par.prefilter_score_offset))
+        else:
+            raw1 = _bucketed(stage1, qc, seqs,
+                             np.int32(par.prefilter_score_offset))
     lens = np.array([len(s) for s in seqs])
     corr = (par.prefilter_bit_factor
             * (log_qlen + fm.flog2(lens.astype(np.float32)))).astype(int)
@@ -151,12 +230,20 @@ def prefilter_db(par: Parameters, q_tmp: HMM, lib: ContextLibrary,
     except Exception:
         pass
     gap_init = par.prefilter_gap_open + par.prefilter_gap_extend
-    sub_seqs = [seqs[n] for n in survivors]
     with annotate("prefilter_stage2_gapped"):
-        raw2 = _bucketed(stage2, qc, sub_seqs,
-                         np.int32(gap_init),
-                         np.int32(par.prefilter_gap_extend),
-                         np.int32(par.prefilter_score_offset))
+        if resident is not None:
+            raw2_all = _bucketed_resident(
+                stage2, qc, resident, survivors, num_dbs,
+                np.int32(gap_init),
+                np.int32(par.prefilter_gap_extend),
+                np.int32(par.prefilter_score_offset))
+            raw2 = raw2_all[survivors]
+        else:
+            sub_seqs = [seqs[n] for n in survivors]
+            raw2 = _bucketed(stage2, qc, sub_seqs,
+                             np.int32(gap_init),
+                             np.int32(par.prefilter_gap_extend),
+                             np.int32(par.prefilter_score_offset))
     evalues = []
     for pos, n in enumerate(survivors):
         ev = factor * lens[n] * float(fm.fpow2(

@@ -607,6 +607,9 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                                 (np.asarray(score), np.asarray(i2),
                                  np.asarray(j2), np.asarray(bt))))
 
+        from ..native import load as _load_native
+
+        nat = _load_native()
         for idxs, batch, ss_hmm_mode, payload in pending:
             if len(payload) == 2:
                 unpack = V.backtrace_walk_unpack8(*payload)
@@ -615,16 +618,68 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                 unpack = None
                 score, i2, j2, bt = payload
 
+            # batched rescoring (no-SS case): ONE scalar_prod20 +
+            # fast_log2 over every hit's MM steps concatenated —
+            # row-independent ops, bit-identical to the per-hit calls
+            batch_rescore = (ss_hmm_mode == NO_SS_INFORMATION
+                             and nat is not None)
+            decoded = []
+            if batch_rescore:
+                cat_q, cat_t = [], []
+                for b, tid in enumerate(idxs):
+                    t = batch[b]
+                    if unpack is not None:
+                        i_steps, j_steps, states, matched_cols = \
+                            unpack(b)
+                    else:
+                        i_steps, j_steps, states, matched_cols = \
+                            V.backtrace(bt[b], int(i2[b]), int(j2[b]))
+                    mm = states[1:] == V.MM
+                    mi = i_steps[1:][mm]
+                    mj = j_steps[1:][mm]
+                    decoded.append((i_steps, j_steps, states,
+                                    matched_cols, mm, len(mi)))
+                    if len(mi):
+                        cat_q.append(q.p[mi])
+                        cat_t.append(t.p[mj])
+                if cat_q:
+                    svals = fm.fast_log2(fm.scalar_prod20(
+                        np.concatenate(cat_q), np.concatenate(cat_t)))
+                else:
+                    svals = np.zeros(0, np.float32)
+                s_off = 0
+
             for b, tid in enumerate(idxs):
                 t = batch[b]
-                if unpack is not None:
-                    i_steps, j_steps, states, matched_cols = unpack(b)
+                if batch_rescore:
+                    (i_steps, j_steps, states, matched_cols, mm,
+                     nmi) = decoded[b]
+                    nsteps = len(i_steps) - 1
+                    S = np.zeros(nsteps + 1, dtype=np.float32)
+                    S_ss = np.zeros(nsteps + 1, dtype=np.float32)
+                    if nmi:
+                        S[1:][mm] = svals[s_off: s_off + nmi]
+                        s_off += nmi
+                    sc_ss, corr_term = nat.backtrace_score_terms(
+                        np.ascontiguousarray(S),
+                        np.ascontiguousarray(S_ss), int(nsteps),
+                        float(np.float32(par.corr)))
+                    sc = np.float32(score[b])
+                    if nsteps:
+                        sc = np.float32(sc + np.float32(corr_term))
+                    sc = float(sc)
+                    sc_ss = float(np.float32(sc_ss))
                 else:
-                    i_steps, j_steps, states, matched_cols = V.backtrace(
-                        bt[b], int(i2[b]), int(j2[b]))
-                sc, sc_ss, S, S_ss = score_for_backtrace(
-                    q, t, float(score[b]), i_steps, j_steps, states,
-                    ss_hmm_mode, par.ssw, par.ssm, par.corr, S73, S37, S33)
+                    if unpack is not None:
+                        i_steps, j_steps, states, matched_cols = \
+                            unpack(b)
+                    else:
+                        i_steps, j_steps, states, matched_cols = \
+                            V.backtrace(bt[b], int(i2[b]), int(j2[b]))
+                    sc, sc_ss, S, S_ss = score_for_backtrace(
+                        q, t, float(score[b]), i_steps, j_steps, states,
+                        ss_hmm_mode, par.ssw, par.ssm, par.corr,
+                        S73, S37, S33)
                 hit = Hit()
                 hit.init_from_hmm(q, t, par.nseqdis, par.ssm)
                 hit.entry = templates[tid][0]
