@@ -352,8 +352,15 @@ def cmd_cstranslate(argv: List[str]) -> int:
                            pc_ali=pc_ali, weight_as=weight_as)
             with ProcessPoolExecutor(max_workers=nproc) as ex:
                 parts = list(ex.map(work, chunks))
-            merged = dict(p for part in parts for p in part)
-            results = [(name, merged[name]) for name, _t in items]
+            # reassemble by POSITION (chunk k item m = original index
+            # k + m*nproc): a name-keyed merge would collapse duplicate
+            # entry names to one worker's payload, unlike the serial
+            # path which translates each entry independently
+            results: List = [None] * len(items)
+            for k, part in enumerate(parts):
+                for m, (_name, payload) in enumerate(part):
+                    pos = k + m * nproc
+                    results[pos] = (items[pos][0], payload)
         else:
             results = [(name, translate(text)) for name, text in items]
         with FFindexWriter(outfile + ".ffdata",

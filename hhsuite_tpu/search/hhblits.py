@@ -56,8 +56,13 @@ def rescore_previous_hits(par: Parameters, q: HMM, db: HHDatabase,
         templates.append((name, t))
 
     from .engine import get_resident_pack
+    # allow_funnel=False: these hits replace PRESERVED alignments'
+    # scores (RescoreWithViterbiKeepAlignment, hhblits.cpp:911-968), so
+    # every one needs its real backtraced score incl. SS/correlation
+    # terms — a funnel light hit here would copy a truncated score onto
+    # a displayed hit (advisor finding r2-medium)
     hits_to_add = viterbi_search(
-        par, q, templates, ss_matrices=ss,
+        par, q, templates, ss_matrices=ss, allow_funnel=False,
         resident_pack=get_resident_pack(db, entry_names, par, mats))
     for h in hits_to_add:
         key = f"{h.file}__{h.irep}"
@@ -201,8 +206,12 @@ def run_hhblits(par: Parameters, query_text: str, db: HHDatabase,
                     finish_template_hmm(par, q, t, mats)
                     old_templates.append((name, t))
                 from .engine import get_resident_pack
+                # allow_funnel=False: realign_old_hits hits go straight
+                # into display/merge range and must carry full paths
+                # (advisor finding r2-medium)
                 hitlist.extend(viterbi_search(
                     par, q, old_templates, ss_matrices=ss,
+                    allow_funnel=False,
                     resident_pack=get_resident_pack(
                         db, old_entry_names, par, mats)))
                 hitlist.sort()

@@ -512,15 +512,15 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                 Lt_max = -(-max(t.L for t in batch) // 64) * 64
                 tp, ttr, t_L = pack_templates(batch, Lt_max, B=Bp,
                                               pooled=_on_tpu())
-            # ss_hmm_mode is derived from SS-data availability for every
-            # nonzero -ssm (the runner computes it unconditionally,
-            # hhviterbirunner.cpp:14-22, and ScoreForBacktrace then
-            # reports score_ss even for the "after alignment" modes);
-            # the DP kernel itself adds SS only for ssm=2
-            # (hhviterbi.cpp:175 gates on SCORE_ALIGNMENT, and per the
-            # TODO there ssm=4 deliberately does not reach the SS kernel)
-            ss_hmm_mode = compute_ss_hmm_mode(q, batch) \
-                if par.ssm else NO_SS_INFORMATION
+            # ss_hmm_mode is derived from SS-data availability
+            # UNCONDITIONALLY (the runner computes it regardless of
+            # -ssm, hhviterbirunner.cpp:14-22, and ScoreForBacktrace
+            # then reports a nonzero score_ss that feeds score_aass
+            # even for -ssm 0 — advisor finding r2-low); the DP kernel
+            # itself adds SS only for ssm=2 (hhviterbi.cpp:175 gates on
+            # SCORE_ALIGNMENT, and per the TODO there ssm=4
+            # deliberately does not reach the SS kernel)
+            ss_hmm_mode = compute_ss_hmm_mode(q, batch)
             ss_in_dp = par.ssm == 2 and ss_hmm_mode != NO_SS_INFORMATION
 
             Lq = q.L

@@ -22,7 +22,12 @@ import sys
 from typing import Dict, List, Optional, Tuple
 
 
-def _claim(queue_dir: str, name: str) -> bool:
+def _claim_path(queue_dir: str, name: str) -> str:
+    return os.path.join(queue_dir, name.replace("/", "_") + ".claim")
+
+
+def _claim(queue_dir: str, name: str,
+           stale_sec: Optional[float] = None) -> bool:
     """Atomically claim one work item on a shared filesystem.
 
     The MPQ master/worker queue (lib/ffindex/src/mpq/mpq.h:25-60) deals
@@ -31,18 +36,49 @@ def _claim(queue_dir: str, name: str) -> bool:
     self-deals single entries with an O_CREAT|O_EXCL create, which is
     atomic on POSIX filesystems including NFS.  Exactly one worker
     cluster-wide wins each entry, and load balances dynamically because
-    claims happen at execution time, not at partition time."""
-    import errno
+    claims happen at execution time, not at partition time.
 
-    path = os.path.join(queue_dir, name.replace("/", "_") + ".claim")
+    Dead-worker recovery (MPQ has none — a crashed rank silently loses
+    its range, SURVEY §5): workers write a `.claim.done` marker after
+    the entry's outputs are produced.  A claim with no done marker
+    whose mtime is older than ``stale_sec`` (default
+    HHSUITE_TPU_QUEUE_STALE_SEC, 900 s) is presumed dead and stolen via
+    an atomic rename — exactly one stealer wins the rename, then
+    re-claims."""
+    import errno
+    import time
+
+    path = _claim_path(queue_dir, name)
     try:
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except OSError as e:
-        if e.errno == errno.EEXIST:
+        if e.errno != errno.EEXIST:
+            raise
+        if os.path.exists(path + ".done"):
             return False
-        raise
+        if stale_sec is None:
+            stale_sec = float(os.environ.get(
+                "HHSUITE_TPU_QUEUE_STALE_SEC", "900"))
+        try:
+            age = time.time() - os.path.getmtime(path)
+        except OSError:
+            return False         # racing claimer just released/renamed
+        if age < stale_sec:
+            return False         # live claim in progress elsewhere
+        try:
+            os.rename(path, f"{path}.stale.{os.getpid()}"
+                            f".{time.time_ns()}")
+        except OSError:
+            return False         # another stealer won the rename
+        return _claim(queue_dir, name, stale_sec)
     os.close(fd)
     return True
+
+
+def _claim_done(queue_dir: str, name: str) -> None:
+    """Completion marker: this entry's outputs exist in some shard."""
+    with open(_claim_path(queue_dir, name) + ".done", "w"):
+        pass
 
 
 def _run_one(args):
@@ -244,15 +280,31 @@ def run_batch(in_base: str, db_base: str, out_base: str,
     finally:
         for w in writers.values():
             w.close()
+    if queue_dir:
+        # completion markers AFTER the shard files are durably written:
+        # a claim without one is a dead worker's and will be re-dealt
+        # (stale-claim steal in _claim)
+        for name, _outputs in results:
+            _claim_done(queue_dir, name)
     log(f"Batch {mode}: {len(results)} queries -> {out_base}_*")
 
 
 def merge_shards(out_base: str, shard_bases: List[str],
-                 kinds=("hhr", "m8", "a3m")) -> None:
+                 kinds=("hhr", "m8", "a3m"),
+                 expected: Optional[List[str]] = None,
+                 log=print) -> List[str]:
     """ffmerge_splits semantics (src/hhblits_mpi.cpp:83-93): concatenate
-    per-rank output shards into one database per kind."""
+    per-rank output shards into one database per kind.
+
+    With ``expected`` (the input entry names), audits the merged set:
+    entries present in the input but missing from every shard — e.g.
+    because a worker died mid-entry — are reported and returned so the
+    caller can re-run the batch over the same queue dir (the stale
+    claim is re-dealt).  The reference's MPQ merge is blind to lost
+    ranges (SURVEY §5)."""
     from ..io.ffindex import FFindexDatabase, FFindexWriter
 
+    seen: set = set()
     for kind in kinds:
         shards = []
         for base in shard_bases:
@@ -267,6 +319,17 @@ def merge_shards(out_base: str, shard_bases: List[str],
             for db in shards:
                 for name, payload in db.items():
                     w.add(name, payload)
+                    seen.add(name)
+    missing: List[str] = []
+    if expected is not None:
+        missing = [n for n in expected if n not in seen]
+        if missing:
+            head = ", ".join(missing[:5])
+            log(f"WARNING: merge is missing {len(missing)} input "
+                f"entries (e.g. {head}) — a worker likely died; re-run "
+                f"the batch with the same -queue dir to re-deal them, "
+                f"then merge again")
+    return missing
 
 
 def main(argv: List[str]) -> int:
@@ -322,13 +385,22 @@ def main(argv: List[str]) -> int:
         i += 1
     if merge_bases is not None:
         # final rank-0 step of a multi-host run (ffmerge_splits,
-        # src/hhblits_mpi.cpp:83-93,210-219)
+        # src/hhblits_mpi.cpp:83-93,210-219); with -i given, audit the
+        # merged entry set against the input index
         if not out_base:
             print("hhblits_batch -merge <shard1,shard2,..> -o <out base>",
                   file=sys.stderr)
             return 4
-        merge_shards(out_base, merge_bases)
-        return 0
+        expected = None
+        if in_base:
+            from ..io.ffindex import FFindexDatabase
+
+            suffix = "_ca3m" if in_ca3m else ""
+            expected = [e.name for e in FFindexDatabase(
+                f"{in_base}{suffix}.ffdata",
+                f"{in_base}{suffix}.ffindex").entries]
+        missing = merge_shards(out_base, merge_bases, expected=expected)
+        return 1 if missing else 0
     if mode == "hhalign" and in_base and out_base:
         db_base = db_base or "-"          # hhalign needs no database
     if not in_base or not db_base or not out_base:

@@ -271,7 +271,10 @@ def test_queue_dynamic_work_dealing(built_db, tmp_path):
     assert not os.path.exists(str(tmp_path / "host1_hhr.ffdata")) or \
         len(FFindexDatabase(str(tmp_path / "host1_hhr.ffdata"),
                             str(tmp_path / "host1_hhr.ffindex"))) == 0
-    assert len(os.listdir(qdir)) == 4     # one claim file per entry
+    claims = [f for f in os.listdir(qdir) if f.endswith(".claim")]
+    dones = [f for f in os.listdir(qdir) if f.endswith(".done")]
+    assert len(claims) == 4               # one claim file per entry
+    assert len(dones) == 4                # all entries completed
 
     # static -shard k/N split: disjoint and complete
     run_batch(str(tmp_path / "queries"), str(tmp / "mydb"),
@@ -311,3 +314,50 @@ def test_batch_hhalign_mode(tmp_path):
     out_a = hhr.read_text("qa")
     assert "Probab=100.00" in out_a
     assert strip(out_a) == strip(hhr.read_text("qb"))
+
+def test_queue_dead_worker_recovery(built_db, tmp_path, monkeypatch):
+    """A claim without a completion marker (= worker died mid-entry) is
+    re-dealt once stale, and -merge audits input-vs-output entry sets
+    (the reference's MPQ silently loses crashed ranks' work)."""
+    from hhsuite_tpu.io.ffindex import FFindexDatabase, FFindexWriter
+    from hhsuite_tpu.tools.batch import (_claim_path, merge_shards,
+                                         run_batch)
+
+    tmp = built_db
+    with open(f"{FIX}/query.a3m") as f:
+        query = f.read()
+    with FFindexWriter(str(tmp_path / "queries.ffdata"),
+                       str(tmp_path / "queries.ffindex")) as w:
+        for k in range(3):
+            w.add(f"q{k}", query.encode())
+    common = dict(mode="hhsearch",
+                  par_overrides={"nocontxt": True, "prefilter": False,
+                                 "num_rounds": 1},
+                  threads=1, log=lambda *a: None)
+    qdir = str(tmp_path / "queue")
+    os.makedirs(qdir)
+    # simulate a worker that claimed q1 and died before finishing
+    open(_claim_path(qdir, "q1"), "w").close()
+
+    run_batch(str(tmp_path / "queries"), str(tmp / "mydb"),
+              str(tmp_path / "h0"), queue_dir=qdir, **common)
+    # q1's fresh claim was honored (not stale yet): it is missing
+    missing = merge_shards(str(tmp_path / "m1"), [str(tmp_path / "h0")],
+                           kinds=("hhr", "m8"),
+                           expected=["q0", "q1", "q2"],
+                           log=lambda *a: None)
+    assert missing == ["q1"]
+
+    # second pass with the stale timeout at 0: the dead claim is stolen
+    monkeypatch.setenv("HHSUITE_TPU_QUEUE_STALE_SEC", "0")
+    run_batch(str(tmp_path / "queries"), str(tmp / "mydb"),
+              str(tmp_path / "h1"), queue_dir=qdir, **common)
+    missing = merge_shards(str(tmp_path / "m2"),
+                           [str(tmp_path / "h0"), str(tmp_path / "h1")],
+                           kinds=("hhr", "m8"),
+                           expected=["q0", "q1", "q2"],
+                           log=lambda *a: None)
+    assert missing == []
+    merged = FFindexDatabase(str(tmp_path / "m2_hhr.ffdata"),
+                             str(tmp_path / "m2_hhr.ffindex"))
+    assert sorted(e.name for e in merged.entries) == ["q0", "q1", "q2"]
