@@ -58,7 +58,7 @@ def _round_up(x, m):
     static_argnames=("local", "need_bt", "tb", "rps", "interpret"))
 def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
                        ss_score=None, local=True, need_bt=True,
-                       tb=32, rps=8, interpret=False):
+                       tb=32, rps=8, interpret=False, Lq_true=None):
     """Contract of ops.viterbi.viterbi_batch (egq=egt=0 assumed).
 
     ``rps`` query rows are computed per grid step (python-unrolled, must
@@ -142,6 +142,19 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
     qtr_s = jnp.pad(qtr.astype(jnp.float32).T,
                     ((0, 0), (0, Lqp - (Lq + 2))),
                     constant_values=-FLT_MAX)     # (7, Lqp)
+    # channel 7: per-row validity mask for QUERY-length bucketing —
+    # 0 for real rows i <= Lq_true, -FLT_MAX for padding rows, added to
+    # the best-score candidates so a padded row can never win the
+    # argmax (a fully-cell-off lane would otherwise report the padded
+    # row's ~-127 Si floor instead of -FLT_MAX).  Lq_true is traced, so
+    # queries sharing one Lq bucket share one compiled program.
+    if Lq_true is None:
+        rowmask = jnp.zeros((1, Lqp), jnp.float32)
+    else:
+        rowmask = jnp.where(
+            jnp.arange(Lqp)[None, :] <= jnp.asarray(Lq_true, jnp.int32),
+            f32(0.0), NEG)
+    qtr_s = jnp.concatenate([qtr_s, rowmask], axis=0)   # (8, Lqp)
 
     sminf = 0.0 if local else -FLT_MAX
     n_btiles = Bp // TB
@@ -376,6 +389,9 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
                 cand = jnp.where(on & (i == Lq), mm_row,
                                  jnp.where(on, mm_row + colmask,
                                            -FLT_MAX))
+            # query-row validity (Lq bucketing): -FLT_MAX for padded
+            # rows, 0 otherwise — padded rows lose every max
+            cand = cand + qtr_ref[7, i]
             better = cand > bl_s
             if Lq % R:
                 # rows beyond Lq exist only to fill the last grid step;
@@ -428,7 +444,7 @@ def viterbi_batch_rows(qp, qtr, tp, ttr, cell_off, t_L, shift,
         ]
         inputs += [c1_arr, t2_arr]
     in_specs += [
-        pl.BlockSpec((7, Lqp), lambda b, s: (0, 0),
+        pl.BlockSpec((8, Lqp), lambda b, s: (0, 0),
                      memory_space=pltpu.SMEM),
     ]
     inputs += [qtr_s]

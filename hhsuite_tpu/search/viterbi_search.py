@@ -368,7 +368,7 @@ class ResidentTemplatePack:
     static_argnames=("local", "tb"))
 def _gathered_rows_kernel(qp, qtr, tp_all, ttr_all, tL_all, idx, pnul,
                           cell_off, shift, local=True, tb=32,
-                          ss_batch=None):
+                          ss_batch=None, Lq_true=None):
     """On-device gather from the resident pack + null-model division
     (include_null_model's f32 divide, hhhmm.cpp:2139-2142) + backtrace
     kernel."""
@@ -377,7 +377,8 @@ def _gathered_rows_kernel(qp, qtr, tp_all, ttr_all, tL_all, idx, pnul,
     tp = tp_all[idx] / pnul[:, None, :]
     return viterbi_batch_rows(qp, qtr, tp, ttr_all[idx],
                               cell_off, tL_all[idx], shift,
-                              ss_score=ss_batch, local=local, tb=tb)
+                              ss_score=ss_batch, local=local, tb=tb,
+                              Lq_true=Lq_true)
 
 
 @functools.partial(
@@ -476,6 +477,28 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
         out[: len(idxs)] = pack_pnul[idxs]
         return out
 
+    # ---- query-length bucketing (pack path, local mode, no SS) ----
+    # pad the KERNEL's view of the query to a 32-column bucket so jit
+    # signatures are shared across queries (each new Lq otherwise
+    # recompiles the whole funnel at ~10-60 s/shape); padded rows carry
+    # zero profiles / -inf transitions and are excluded from the
+    # argmax via the kernel's row-validity channel.  Host-side
+    # rescoring/backtrace always uses the REAL q (paths never enter
+    # padded rows).
+    Lq_real = q.L
+    Lq_use = Lq_real
+    qp_use = q.p.astype(np.float32)
+    qtr_use = q.tr.astype(np.float32)
+    if (pack is not None and bool(par.loc)
+            and q.nss_pred < 0 and q.nss_dssp < 0):
+        Lq_use = max(32, -(-Lq_real // 32) * 32)
+        if Lq_use > Lq_real:
+            qp_pad = np.zeros((Lq_use + 2, 20), np.float32)
+            qp_pad[: Lq_real + 2] = qp_use
+            qtr_pad = np.full((Lq_use + 2, 7), -FLT_MAX, np.float32)
+            qtr_pad[: Lq_real + 2] = qtr_use
+            qp_use, qtr_use = qp_pad, qtr_pad
+
     def _run_junk(junk):
         # Two-phase: dispatch every batch first (JAX queues device work
         # asynchronously), then fetch + host-unpack — so batch k+1's
@@ -523,7 +546,8 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
             ss_hmm_mode = compute_ss_hmm_mode(q, batch)
             ss_in_dp = par.ssm == 2 and ss_hmm_mode != NO_SS_INFORMATION
 
-            Lq = q.L
+            # the pack path's kernel sees the Lq-bucketed query view
+            Lq = Lq_use if bucket_lt is not None else q.L
             has_excl = any(exclude.get(i) for i in idxs)
             has_str = bool(par.exclstr or par.template_exclstr)
             any_co = has_excl or has_str
@@ -542,7 +566,7 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                     for p, (pi, pj) in enumerate(exclude.get(i, [])):
                         lc, hc, lr, hr = V.band_intervals(
                             np.asarray(pi)[1:], np.asarray(pj)[1:], 40,
-                            Lq, tmpl_list[i].L, Lq + 1, Wj)
+                            q.L, tmpl_list[i].L, Lq + 1, Wj)
                         lo_c[b, p] = lc
                         hi_c[b, p] = hc
                         lo_r[b, p] = lr
@@ -580,12 +604,13 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
 
                 with annotate("viterbi_backtrace_pass"):
                     score, i2, j2, bt = _gathered_rows_kernel(
-                        q.p.astype(np.float32), q.tr.astype(np.float32),
+                        qp_use, qtr_use,
                         tp_all, ttr_all, tL_all, gidx,
                         _pnul_lanes(idxs, Bp),
                         cell_off if any_co else None,
                         np.float32(par.shift), local=bool(par.loc),
-                        tb=32, ss_batch=ss_batch)
+                        tb=32, ss_batch=ss_batch,
+                        Lq_true=np.int32(q.L))
             else:
                 score, i2, j2, bt = _dispatch_kernel(
                     q.p.astype(np.float32), q.tr.astype(np.float32),
@@ -715,8 +740,9 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
         interp = not _on_tpu()   # tests force the funnel on CPU
         scores = np.full(len(junk), -FLT_MAX, dtype=np.float32)
         SB = 2048                # one full lanes tile (G=16 x 128)
-        qp_f = q.p.astype(np.float32)
-        qtr_f = q.tr.astype(np.float32)
+        # Lq-bucketed kernel view (scores unaffected: padded rows
+        # floor at ~-127+shift, below any real profile-pair score)
+        qp_f, qtr_f = qp_use, qtr_use
         # chunking: plain SB slices, or (resident pack) per length
         # bucket so gathers draw from one bucket array at a time;
         # `positions` maps each chunk back into the junk-ordered
