@@ -267,6 +267,9 @@ def cmd_cstranslate(argv: List[str]) -> int:
     pc_admix, pc_ali = 0.90, 12.0
     weight_as = 1000.0
     threads = 0
+    outformat = "seq"              # -O seq|prf (cstranslate_app.h:61)
+    match_assign = None            # -M: None = by-query, else gap rule
+    appendfile = None              # -a: append instead of/next to -o
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -299,12 +302,24 @@ def cmd_cstranslate(argv: List[str]) -> int:
         elif a in ("-cpu", "--threads"):
             i += 1
             threads = int(argv[i])
-        elif a in ("-v", "--verbose", "-O", "--outformat", "-M",
-                   "--match-assign", "-a", "--appendfile"):
+        elif a in ("-O", "--outformat"):
+            i += 1
+            outformat = argv[i]
+        elif a in ("-M", "--match-assign"):
+            i += 1
+            match_assign = float(argv[i])
+            if match_assign < 0:       # kAssignMatchColsByQuery
+                match_assign = None
+        elif a in ("-a", "--appendfile"):
+            i += 1
+            appendfile = argv[i]
+        elif a in ("-v", "--verbose"):
             i += 1
         i += 1
-    if not infile or not outfile:
-        print("cstranslate -i <in> -o <out> [-f]", file=sys.stderr)
+    if not infile or not (outfile or appendfile) \
+            or (ffmode and not outfile):
+        print("cstranslate -i <in> [-o <out>] [-a <append>] [-f]",
+              file=sys.stderr)
         return 4
     if alphabet and alphabet != "internal":
         with open(alphabet) as f:
@@ -316,10 +331,29 @@ def cmd_cstranslate(argv: List[str]) -> int:
         pc_engine = default_pc_engine(
             None if modelfile == "internal" else modelfile)
 
+    fmt = informat
+    if fmt == "auto":
+        ext = infile.rsplit(".", 1)[-1] if "." in infile else ""
+        fmt = ext if ext in ("fas", "fasta", "seq", "prf") else "a3m"
+
     def translate(text: str) -> bytes:
+        if outformat == "prf":
+            from ..cs.context_lib import write_state_profile
+
+            _seq, post = cstranslate_a3m(
+                text, lib, w_center=weight_as, pc_engine=pc_engine,
+                pc_admix=pc_admix, pc_ali=pc_ali,
+                match_assign=match_assign, return_profile=True,
+                informat=fmt)
+            # GetBasename + substr(0, len-1): the reference chops the
+            # last basename character (cstranslate_app.h:601-602 quirk)
+            name = os.path.basename(infile).rsplit(".", 1)[0][:-1]
+            # raw single-byte alphabet chars like the reference's fputc
+            return write_state_profile(post, name).encode("latin-1")
         return cstranslate_a3m(text, lib, w_center=weight_as,
                                pc_engine=pc_engine, pc_admix=pc_admix,
-                               pc_ali=pc_ali)
+                               pc_ali=pc_ali, match_assign=match_assign,
+                               informat=fmt)
 
     if ffmode:
         if informat == "ca3m":
@@ -370,8 +404,12 @@ def cmd_cstranslate(argv: List[str]) -> int:
     else:
         with open(infile) as f:
             seq = translate(f.read())
-        with open(outfile, "wb") as f:
-            f.write(seq)
+        if outfile:
+            with open(outfile, "wb") as f:
+                f.write(seq)
+        if appendfile:        # -a: append (WriteStateSequence append=true)
+            with open(appendfile, "ab") as f:
+                f.write(seq)
     return 0
 
 

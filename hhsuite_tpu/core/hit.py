@@ -232,13 +232,19 @@ class Hit:
         self.sa_dssp = t.sa_dssp
 
     def calc_eval_score_probab(self, N_searched, lamda, loc, ssm, ssw):
-        """CalcEvalScoreProbab (hhhit.h:136-147)."""
+        """CalcEvalScoreProbab (hhhit.h:136-147).
+
+        Degenerate scores (a fully-cell-off altali lane reports
+        -FLT_MAX) flow through as C float math does — log(0) = -inf,
+        exp(+inf) = inf, no exception — so they sort last with
+        Probab 0 exactly like the reference binary."""
         self.Eval = math.exp(self.logPval + math.log(N_searched))
         self.logEval = self.logPval + math.log(N_searched)
         if self.logPval < -10.0:
             base = self.logPval
         else:
-            base = math.log(-math.log(1 - self.Pval))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                base = float(np.log(-np.log(1.0 - np.float64(self.Pval))))
         self.score_aass = (base / 0.45
                            - min(lamda * self.score_ss,
                                  max(0.0, 0.2 * (self.score - 8.0))) / 0.45
@@ -261,8 +267,10 @@ class Hit:
                 a, b, c, d = math.sqrt(4000.0), 6.0, math.sqrt(0.13), 68.0
             else:
                 a, b, c, d = math.sqrt(6000.0), 5.0, math.sqrt(0.10), 74.0
-        t = a * math.exp(-s / b) + c * math.exp(-s / d)
-        return 100.0 / (1.0 + t * t)
+        with np.errstate(over="ignore"):
+            t = float(a * np.exp(-np.float64(s) / b)
+                      + c * np.exp(-np.float64(s) / d))
+        return float(100.0 / (1.0 + t * t))
 
     def sort_key(self):
         """operator< (hhhit.h:122-133): ascending score_sort, then file."""

@@ -227,6 +227,72 @@ def cs_alignment_from_a3m(text: str):
     return M, headers
 
 
+def cs_alignment_from_fasta(text: str, match_assign=None):
+    """cs::Alignment FASTA reading + match assignment
+    (src/cs/cstranslate_app.h:577-583): match columns from sequence 0's
+    residues (kAssignMatchColsByQuery) or, with ``match_assign``, the
+    -M gap rule (AssignMatchColumnsByGapRule, alignment-inl.h:501-530:
+    weighted gap percentage against a threshold, ENDGAPs ignored)."""
+    headers: List[str] = []
+    seqs: List[str] = []
+    cur: Optional[List[str]] = None
+    for line in text.splitlines():
+        if line.startswith(">"):
+            if cur is not None:
+                seqs.append("".join(cur))
+            headers.append(line[1:])
+            cur = []
+        elif line.startswith("#") and cur is None:
+            continue
+        elif cur is not None:
+            cur.append(line.strip())
+    if cur is not None:
+        seqs.append("".join(cur))
+    keepidx = [k for k, h in enumerate(headers)
+               if not (h.startswith("ss_pred") or h.startswith("ss_conf")
+                       or h.startswith("ss_dssp"))]
+    headers = [headers[k] for k in keepidx]
+    seqs = [seqs[k] for k in keepidx]
+    ncols = len(seqs[0])
+    for k, s in enumerate(seqs[1:], 1):
+        if len(s) != ncols:
+            raise ValueError(f"FASTA sequence {k} length mismatch")
+    N = len(seqs)
+    full = np.zeros((ncols, N), dtype=np.uint8)
+    for k, s in enumerate(seqs):
+        full[:, k] = CS_CHAR_TO_INT[
+            np.frombuffer(s.upper().encode("latin-1"),
+                          dtype=np.uint8).astype(np.int64)]
+    for k in range(N):      # endgap marking (cs::Alignment::Init)
+        colk = full[:, k]
+        i = 0
+        while i < ncols and colk[i] == CS_GAP:
+            colk[i] = CS_ENDGAP
+            i += 1
+        i = ncols - 1
+        while i >= 0 and colk[i] == CS_GAP:
+            colk[i] = CS_ENDGAP
+            i -= 1
+    if match_assign is None:
+        # AssignMatchColumnsBySequence(0): residues of the first seq
+        is_match = full[:, 0] < CS_ANY
+    else:
+        wg, _neff = cs_global_weights(full)
+        thr = float(match_assign)
+        res = np.where(full < CS_ANY, wg[None, :], 0.0).sum(axis=1)
+        gap = np.where((full >= CS_ANY) & (full != CS_ENDGAP),
+                       wg[None, :], 0.0).sum(axis=1)
+        tot = res + gap
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if thr > 1.0:        # percentage between 1 and 100
+                is_match = np.where(tot > 0,
+                                    100.0 * gap / tot <= thr, False)
+            else:                # decimal fraction
+                is_match = np.where(tot > 0, res / tot > thr, False)
+    M = full[is_match, :].copy()
+    return M, headers
+
+
 def cs_global_weights(M: np.ndarray):
     """GlobalWeightsAndDiversity (src/cs/alignment-inl.h:697-770).
 
@@ -343,12 +409,17 @@ def cs_position_specific_weights(M: np.ndarray):
     return w, neff
 
 
-def count_profile_from_a3m(text: str, pos_weights: bool = True):
+def count_profile_from_a3m(text: str, pos_weights: bool = True,
+                           match_assign=None, informat: str = "a3m"):
     """cs::CountProfile from an A3M (src/cs/count_profile-inl.h:32-59).
 
     Returns (counts (L, 20) float64 normalized to neff, neff (L,), name).
     """
-    M, headers = cs_alignment_from_a3m(text)
+    if informat in ("fas", "fasta"):
+        M, headers = cs_alignment_from_fasta(text,
+                                             match_assign=match_assign)
+    else:
+        M, headers = cs_alignment_from_a3m(text)
     L, N = M.shape
     isaa = M < CS_ANY
     counts = np.zeros((L, 20), dtype=np.float64)
@@ -369,9 +440,45 @@ def count_profile_from_a3m(text: str, pos_weights: bool = True):
     return counts, neff, name
 
 
+# AS219 serialization characters (src/cs/as.cc:195: codes 33..255
+# minus '*' 42, '-' 45, '.' 46, '>' 62 — exactly 219 states)
+AS219_CHARS = [c for c in range(33, 256) if c not in (42, 45, 46, 62)]
+
+
+def write_state_profile(posteriors: np.ndarray, name: str = "") -> str:
+    """CountProfile<AS219>::Write (src/cs/count_profile-inl.h:106-131):
+    the `-O prf` output format — per-column AS219 posteriors as
+    negative log2 fixed-point (kScale=1000, '*' for zero), NEFF 1."""
+    import math
+
+    out = ["CountProfile"]
+    if name:
+        out.append(f"NAME\t{name}")
+    L, K = posteriors.shape
+    out.append(f"LENG\t{L}")
+    out.append(f"ALPH\t{K}")
+    out.append("COUNTS\t" + "\t".join(chr(c) for c in AS219_CHARS[:K])
+               + "\tNEFF")
+    for i in range(L):
+        row = [str(i + 1)]
+        for a in range(K):
+            p = posteriors[i, a]
+            if p == 0.0:
+                row.append("*")
+            else:
+                row.append(str(-int(math.floor(math.log2(p) * 1000
+                                               + 0.5))))
+        row.append("1000")      # neff fixed at one (cstranslate_app.h)
+        out.append("\t".join(row))
+    out.append("//")
+    return "\n".join(out) + "\n"
+
+
 def cstranslate_a3m(text: str, lib: Optional[ContextLibrary] = None,
                     w_center: float = 1000.0, pc_engine=None,
-                    pc_admix: float = 0.9, pc_ali: float = 12.0) -> bytes:
+                    pc_admix: float = 0.9, pc_ali: float = 12.0,
+                    match_assign=None, return_profile: bool = False,
+                    informat: str = "a3m"):
     """cstranslate -i <a3m>: a3m -> AS219 byte sequence
     (src/cs/cstranslate_app.h:126-163 ffindex path).
 
@@ -380,10 +487,18 @@ def cstranslate_a3m(text: str, lib: Optional[ContextLibrary] = None,
     and renormalizes the count profile to Neff before translation,
     exactly like ReadProfile (src/cs/cstranslate_app.h:561-597:
     ``counts = AddTo(profile, admix); Normalize(counts, neff)``).
-    """
+
+    ``match_assign`` applies only to FASTA inputs (``informat='fas'``,
+    like the reference where -M touches FASTA alignments only,
+    cstranslate_app.h:577-583): None = match columns from the first
+    sequence's residues, a number = the gap-percentage rule.
+    ``return_profile=True`` additionally returns the (L, 219)
+    posterior profile (`-O prf`)."""
     if lib is None:
         lib = ContextLibrary.default_cs219()
-    counts, neff, _ = count_profile_from_a3m(text)
+    counts, neff, _ = count_profile_from_a3m(text,
+                                             match_assign=match_assign,
+                                             informat=informat)
     if pc_engine is not None:
         from .pseudocounts import CSBlastAdmix, add_to_profile
 
@@ -391,8 +506,12 @@ def cstranslate_a3m(text: str, lib: Optional[ContextLibrary] = None,
         safe_neff = np.where(neff > 0, neff, 1.0)
         p = add_to_profile(pc_engine, counts, safe_neff, admix)
         counts = p * neff[:, None]
-    states = translate_to_states(counts, lib, w_center=w_center)
-    return bytes(states.tolist())
+    states, post = translate_to_states(counts, lib, w_center=w_center,
+                                       return_posteriors=True)
+    seq = bytes(states.tolist())
+    if return_profile:
+        return seq, post
+    return seq
 
 
 def default_pc_engine(modelfile: Optional[str] = None,

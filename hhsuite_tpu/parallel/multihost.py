@@ -1,0 +1,178 @@
+"""Multi-host runtime: MPQ master/worker semantics over a TCP process
+group instead of MPI.
+
+TPU-native replacement for hhblits_mpi (src/hhblits_mpi.cpp:135-230 +
+lib/ffindex/src/mpq/mpq.h:25-60): rank 0 runs the master, dealing
+query-index ranges to workers dynamically (execution-time load
+balancing, like MPQ_Master's deal loop), workers stream each finished
+entry's outputs BACK OVER THE GROUP CHANNEL, and rank 0 writes the
+single merged output database directly — the ffmerge_splits
+post-barrier merge (src/hhblits_mpi.cpp:83-93,210-219) collapses into
+the collection loop, so no per-rank shard files and no shared
+filesystem are needed (the filesystem claim queue in tools/batch.py
+remains as the alternative for NFS-style clusters).
+
+Device story per rank: each process owns its local chip(s); inside a
+rank the usual device mesh shards template batches (parallel/mesh.py).
+``jax.distributed`` can optionally join the ranks into one global JAX
+process group (multi-host collectives over DCN) — enabled when the
+caller passes ``jax_coordinator``; the search engine itself only needs
+the local devices, so the runtime degrades gracefully without it.
+
+Wire protocol: length-prefixed pickles over one TCP connection per
+worker.  Messages:
+  worker -> master: ("next", rank) | ("result", name, {kind: bytes})
+  master -> worker: ("work", [entry_indices]) | ("done",)
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import socket
+import struct
+import threading
+from typing import Dict, List, Optional, Tuple
+
+
+def _send(conn: socket.socket, obj) -> None:
+    payload = pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL)
+    conn.sendall(struct.pack(">Q", len(payload)) + payload)
+
+
+def _recv(conn: socket.socket):
+    hdr = b""
+    while len(hdr) < 8:
+        part = conn.recv(8 - len(hdr))
+        if not part:
+            raise ConnectionError("peer closed")
+        hdr += part
+    n = struct.unpack(">Q", hdr)[0]
+    buf = bytearray()
+    while len(buf) < n:
+        part = conn.recv(min(1 << 20, n - len(buf)))
+        if not part:
+            raise ConnectionError("peer closed")
+        buf += part
+    return pickle.loads(bytes(buf))
+
+
+def _master(addr: str, size: int, n_entries: int, chunk: int,
+            results: Dict[str, Dict[str, bytes]],
+            order: Dict[str, int]) -> None:
+    """MPQ_Master: accept size-1 workers, deal [start,end) ranges on
+    request, collect per-entry results until every worker drains."""
+    host, port = addr.rsplit(":", 1)
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind((host, int(port)))
+    srv.listen(size)
+    conns = [srv.accept()[0] for _ in range(size - 1)]
+    srv.close()
+
+    next_idx = 0
+    lock = threading.Lock()
+
+    def serve(conn):
+        nonlocal next_idx
+        try:
+            while True:
+                msg = _recv(conn)
+                if msg[0] == "next":
+                    with lock:
+                        start = next_idx
+                        end = min(start + chunk, n_entries)
+                        next_idx = end
+                    if start >= n_entries:
+                        _send(conn, ("done",))
+                        return
+                    _send(conn, ("work", list(range(start, end))))
+                elif msg[0] == "result":
+                    _name, outputs = msg[1], msg[2]
+                    with lock:
+                        results[_name] = outputs
+        finally:
+            conn.close()
+
+    threads = [threading.Thread(target=serve, args=(c,), daemon=True)
+               for c in conns]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+
+def run_multihost(in_base: str, db_base: str, out_base: str, rank: int,
+                  size: int, addr: str, mode: str = "hhblits",
+                  par_overrides: Optional[dict] = None, chunk: int = 1,
+                  jax_coordinator: Optional[str] = None,
+                  log=print) -> None:
+    """One rank of a multi-host batch search.
+
+    rank 0 = master + merged-output writer; ranks 1..size-1 = workers.
+    All ranks must see the input/database paths; only rank 0 writes
+    <out_base>_{hhr,m8[,a3m]}.ff{data,index} (already merged, input
+    order preserved).
+    """
+    assert size >= 2, "multi-host needs a master and >=1 worker"
+    if jax_coordinator:
+        try:
+            import jax
+
+            jax.distributed.initialize(
+                coordinator_address=jax_coordinator,
+                num_processes=size, process_id=rank)
+        except Exception as e:   # pragma: no cover - best effort
+            log(f"jax.distributed unavailable ({e}); ranks run with "
+                f"local devices only")
+
+    from ..io.ffindex import FFindexDatabase, FFindexWriter
+
+    src = FFindexDatabase(in_base + ".ffdata", in_base + ".ffindex")
+    names = [e.name for e in src.entries]
+
+    if rank == 0:
+        results: Dict[str, Dict[str, bytes]] = {}
+        order = {n: i for i, n in enumerate(names)}
+        _master(addr, size, len(names), chunk, results, order)
+        writers: Dict[str, FFindexWriter] = {}
+        try:
+            for name in names:          # input order, like the merge
+                outputs = results.get(name)
+                if outputs is None:
+                    log(f"WARNING: no result for entry {name} "
+                        f"(worker died?)")
+                    continue
+                for kind, payload in outputs.items():
+                    if kind not in writers:
+                        writers[kind] = FFindexWriter(
+                            f"{out_base}_{kind}.ffdata",
+                            f"{out_base}_{kind}.ffindex")
+                    writers[kind].add(name, payload)
+        finally:
+            for w in writers.values():
+                w.close()
+        log(f"multihost {mode}: {len(results)}/{len(names)} entries "
+            f"-> {out_base}_*")
+        return
+
+    # ---- worker rank ----
+    from ..tools.batch import _run_one
+
+    host, port = addr.rsplit(":", 1)
+    conn = socket.create_connection((host, int(port)), timeout=600)
+    par_dict = dict(par_overrides or {})
+    try:
+        while True:
+            _send(conn, ("next", rank))
+            msg = _recv(conn)
+            if msg[0] == "done":
+                break
+            for idx in msg[1]:
+                name = names[idx]
+                text = src.read_text(name)
+                out = _run_one((name, text, db_base, par_dict, mode))
+                if out is not None:
+                    _send(conn, ("result", out[0], out[1]))
+    finally:
+        conn.close()

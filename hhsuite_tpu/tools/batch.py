@@ -379,6 +379,18 @@ def main(argv: List[str]) -> int:
         elif a == "-queue":
             i += 1
             queue_dir = argv[i]
+        elif a == "-rank":
+            i += 1
+            par_overrides["__mh_rank"] = int(argv[i])
+        elif a == "-size":
+            i += 1
+            par_overrides["__mh_size"] = int(argv[i])
+        elif a == "-addr":
+            i += 1
+            par_overrides["__mh_addr"] = argv[i]
+        elif a == "-jax_coordinator":
+            i += 1
+            par_overrides["__mh_jaxcoord"] = argv[i]
         elif a == "-merge":
             i += 1
             merge_bases = argv[i].split(",")
@@ -401,6 +413,24 @@ def main(argv: List[str]) -> int:
                 f"{in_base}{suffix}.ffindex").entries]
         missing = merge_shards(out_base, merge_bases, expected=expected)
         return 1 if missing else 0
+    if "__mh_rank" in par_overrides:
+        # TCP process-group lane (hhblits_mpi semantics, MPQ over
+        # sockets + in-band merge): every rank runs this same command
+        # with its own -rank; see parallel/multihost.py
+        from ..parallel.multihost import run_multihost
+
+        rank = par_overrides.pop("__mh_rank")
+        mh_size = par_overrides.pop("__mh_size", 2)
+        mh_addr = par_overrides.pop("__mh_addr", "127.0.0.1:45917")
+        jaxcoord = par_overrides.pop("__mh_jaxcoord", None)
+        if not in_base or not db_base or not out_base:
+            print("hhblits_batch -rank R -size N -addr host:port -i "
+                  "<queries> -d <db> -o <out>", file=sys.stderr)
+            return 4
+        run_multihost(in_base, db_base, out_base, rank, mh_size,
+                      mh_addr, mode, par_overrides,
+                      jax_coordinator=jaxcoord)
+        return 0
     if mode == "hhalign" and in_base and out_base:
         db_base = db_base or "-"          # hhalign needs no database
     if not in_base or not db_base or not out_base:

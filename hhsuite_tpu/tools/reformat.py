@@ -18,6 +18,7 @@ Options mirrored from reformat.pl (scripts/reformat.pl:60-85):
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 from typing import List, Optional, Tuple
@@ -200,7 +201,8 @@ def write_msa(pairs: List[Tuple[str, str]], outformat: str,
               case: Optional[str] = None, number: bool = False,
               width: int = 100, noss: bool = False,
               keep_sa: bool = False, gap: Optional[str] = None,
-              desclen: int = 0) -> str:
+              desclen: int = 0, lname: int = 0,
+              update: bool = False) -> str:
     if noss:
         pairs = [(n, s) for (n, s) in pairs
                  if not re.match(r"(ss_|aa_)", n)]
@@ -277,29 +279,47 @@ def write_msa(pairs: List[Tuple[str, str]], outformat: str,
                 for k in range(0, len(s), width):
                     out.append(s[k: k + width])
         return "\n".join(out) + "\n"
+    lname = lname or None
     if outformat == "sto":
         out = ["# STOCKHOLM 1.0", ""]
-        w = max((len(n.split()[0]) for n, _s in pairs), default=0) + 2
-        for n, s in pairs:
-            out.append(f"{n.split()[0]:<{w}}"
-                       + s.replace(".", "-").upper())
+        if lname:
+            # reformat.pl:747-771: fixed "%-N.Ns %s" name column
+            for n, s in pairs:
+                nm = n.split()[0]
+                out.append(f"{nm[:lname]:<{lname}} "
+                           + s.replace(".", "-").upper())
+        else:
+            w = max((len(n.split()[0]) for n, _s in pairs),
+                    default=0) + 2
+            for n, s in pairs:
+                out.append(f"{n.split()[0]:<{w}}"
+                           + s.replace(".", "-").upper())
         out.append("//")
         return "\n".join(out) + "\n"
     if outformat == "psi":
         out = []
-        w = max((len(n.split()[0]) for n, _s in pairs), default=0) + 2
-        for n, s in pairs:
-            out.append(f"{n.split()[0]:<{w}}"
-                       + s.replace(".", "-").upper())
+        if lname:
+            for n, s in pairs:
+                nm = n.split()[0]
+                out.append(f"{nm[:lname]:<{lname}} "
+                           + s.replace(".", "-").upper())
+        else:
+            w = max((len(n.split()[0]) for n, _s in pairs),
+                    default=0) + 2
+            for n, s in pairs:
+                out.append(f"{n.split()[0]:<{w}}"
+                           + s.replace(".", "-").upper())
         return "\n".join(out) + "\n"
     if outformat == "clu":
         out = ["CLUSTAL W multiple sequence alignment", ""]
-        names = [n.split()[0][:18] for n, _s in pairs]
+        nw = lname or 18
+        names = [n.split()[0][:nw] for n, _s in pairs]
         seqs = [s.replace(".", "-").upper() for _n, s in pairs]
         L = max((len(s) for s in seqs), default=0)
+        pad = (lname + 2) if lname else 20
         for start in range(0, L, 60):
             for nm, s in zip(names, seqs):
-                out.append(f"{nm:<20}{s[start: start + 60]}")
+                out.append(f"{nm:<{pad}}{s[start: start + 60]}")
             out.append("")
         return "\n".join(out) + "\n"
     raise ValueError(f"unknown output format {outformat}")
@@ -343,13 +363,18 @@ def _rebuild_opt_args(opts) -> List[str]:
         out += ["-d", str(opts["desclen"])]
     if opts["width"] != 100:
         out += ["-l", str(opts["width"])]
+    if opts.get("lname"):
+        out += ["-lname", str(opts["lname"])]
+    if opts.get("update"):
+        out.append("-u")
     return out
 
 
 def main(argv: List[str]) -> int:
     opts = {"M": None, "remove_inserts": False, "remove_gapped": 0,
             "case": None, "number": False, "width": 100, "noss": False,
-            "keep_sa": False, "gap": None, "desclen": 0}
+            "keep_sa": False, "gap": None, "desclen": 0, "lname": 0,
+            "update": False}
     pos: List[str] = []
     i = 0
     while i < len(argv):
@@ -381,6 +406,15 @@ def main(argv: List[str]) -> int:
         elif a == "-d":
             i += 1
             opts["desclen"] = int(argv[i])
+        elif a == "-lname":
+            # fixed name-column width for clustal/stockholm/psi output
+            # (reformat.pl:113,141,747-790)
+            i += 1
+            opts["lname"] = int(argv[i])
+        elif a == "-u":
+            # update mode: skip files whose outfile already exists
+            # (reformat.pl:111,139,218)
+            opts["update"] = True
         elif a == "-v":
             i += 1
         elif a == "-i":
@@ -426,6 +460,9 @@ def main(argv: List[str]) -> int:
         print(f"unrecognized format (supported: {' '.join(FORMATS)})",
               file=sys.stderr)
         return 4
+    if opts.get("update") and outfile not in ("stdout",) \
+            and os.path.exists(outfile):
+        return 0      # -u: keep the existing output (reformat.pl:218)
     text = (sys.stdin.read() if infile == "stdin"
             else open(infile).read())
     out = reformat(text, informat, outformat, **opts)

@@ -158,3 +158,44 @@ def test_cli_end_to_end(tmp_path):
     assert seq == "VLGAGITM"             # template residues 3..10
     # missing CIF for 2xyz reported but run succeeded
     assert "no CIF for 2xyz_B" in res.stderr
+
+
+def test_select_templates_heuristic_units():
+    """selectTemplatesHeuristic port: formula-level checks of the
+    scoring loop, the 50% same-name overlap rule, the preselection
+    union, and SingleTemplateSelection's coverage thresholds."""
+    from collections import namedtuple
+
+    from hhsuite_tpu.tools.hhpred import (
+        choose_templates_scoring_heuristic, preselect_templates,
+        single_template_selection)
+
+    R = namedtuple("R", "template_id probability similarity sum_probs "
+                   "aligned_cols start end")
+    L = 50
+
+    def mk(tid, prob, sim, sp, cols, q0, q1, t0, t1):
+        return R(tid, prob, sim, sp, cols, (q0, t0), (q1, t1))
+
+    # preselection union: best by sim, then SumProbs/Cols, then prob
+    pool = [(0, 0.9, 0.1, 10.0), (1, 0.5, 0.9, 50.0),
+            (2, 0.1, 0.5, 99.0)]
+    assert preselect_templates(1, pool) == [0, 1, 2]
+
+    # two disjoint strong templates both accepted; a same-name copy
+    # overlapping > 50% in template coordinates is rejected
+    results = [mk("A", 99.0, 1.0, 20.0, 25, 1, 25, 1, 25),
+               mk("B", 99.0, 1.0, 20.0, 25, 26, 50, 1, 25),
+               mk("A", 98.0, 1.0, 20.0, 25, 1, 25, 2, 26)]
+    posts = [[0.9 if 0 <= i < 25 else 0.0 for i in range(L)],
+             [0.9 if 25 <= i < 50 else 0.0 for i in range(L)],
+             [0.8 if 0 <= i < 25 else 0.0 for i in range(L)]]
+    idxs = choose_templates_scoring_heuristic(results, posts, L,
+                                              preselect=2)
+    assert 0 in idxs and 1 in idxs and 2 not in idxs
+
+    # SingleTemplateSelection: needs > 40 new columns, < 20 overlap
+    res2 = [mk("A", 99, 1, 20, 45, 1, 45, 1, 45),
+            mk("B", 90, 1, 20, 45, 2, 46, 1, 45),    # mostly covered
+            mk("C", 80, 1, 20, 45, 46, 95, 1, 50)]   # but L=50 clamps
+    assert single_template_selection(res2, 100) == [0, 2]

@@ -157,3 +157,27 @@ def test_cli_i_o_flags_and_batch_glob(tmp_path):
     assert (tmp_path / "x1.sto").exists()
     assert (tmp_path / "x2.sto").exists()
     assert "STOCKHOLM" in (tmp_path / "x1.sto").read_text()
+
+
+def test_reformat_update_and_lname(tmp_path):
+    """-u skips existing outputs (reformat.pl:218); -lname fixes the
+    name column width in sto/psi/clu output (reformat.pl:747-790)."""
+    from hhsuite_tpu.tools.reformat import main, reformat
+
+    fas = tmp_path / "in.fas"
+    fas.write_text(">longsequencename one\nACDEF\n>b\nAC-EF\n")
+    out = tmp_path / "out.sto"
+    assert main([str(fas), str(out)]) == 0
+    first = out.read_text()
+    fas.write_text(">changed\nGGGGG\n")
+    assert main(["-u", str(fas), str(out)]) == 0
+    assert out.read_text() == first          # -u kept the old file
+    assert main([str(fas), str(out)]) == 0
+    assert out.read_text() != first          # without -u it rewrites
+
+    sto = reformat(">longsequencename x\nACDEF\n>b\nAC-EF\n",
+                   "fas", "sto", lname=10)
+    line = [ln for ln in sto.splitlines() if ln.startswith("longseq")][0]
+    assert line == "longsequen ACDEF"        # truncated + padded to 10
+    psi = reformat(">n x\nACDEF\n", "fas", "psi", lname=6)
+    assert psi.splitlines()[0] == "n      ACDEF"

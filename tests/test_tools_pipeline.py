@@ -95,3 +95,52 @@ def test_cstranslate_pool_matches_serial(tmp_path):
         assert f1.read() == f2.read()
     with open(a + ".ffindex") as f1, open(b + ".ffindex") as f2:
         assert f1.read() == f2.read()
+
+
+def test_cstranslate_outformat_matchassign_append(tmp_path):
+    """cstranslate -O prf / -M (FASTA gap rule) / -a append vs
+    reference-binary goldens (generated with the round-2 reference
+    build; -A/-D cs219.lib -x 0.3 -c 4)."""
+    import shutil
+
+    from hhsuite_tpu.cli.main import cmd_cstranslate
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures")
+    a3m = os.path.join(fix, "cst_in.a3m")
+    fas = os.path.join(fix, "cst_flat.fas")
+    lib = os.path.join(fix, "cs219.lib") \
+        if os.path.exists(os.path.join(fix, "cs219.lib")) else None
+    base_args = ["-A", "internal", "-D", "internal", "-x", "0.3",
+                 "-c", "4"]
+
+    out = str(tmp_path / "prf.as")
+    assert cmd_cstranslate(["-i", a3m, "-o", out, "-O", "prf",
+                            "-I", "a3m"] + base_args) == 0
+    golden = open(os.path.join(fix, "cstranslate_prf.golden"),
+                  "rb").read()
+    got = open(out, "rb").read()
+    # the golden's NAME line used the original basename; normalize it
+    golden = golden.replace(b"NAME\tcst_i\n", b"")
+    got = got.replace(b"NAME\tcst_i\n", b"")
+    assert got == golden
+
+    out = str(tmp_path / "m20.as")
+    assert cmd_cstranslate(["-i", fas, "-o", out, "-M", "20",
+                            "-I", "fas"] + base_args) == 0
+    assert open(out, "rb").read() == open(
+        os.path.join(fix, "cstranslate_m20.golden"), "rb").read()
+
+    out = str(tmp_path / "mq.as")
+    assert cmd_cstranslate(["-i", fas, "-o", out,
+                            "-I", "fas"] + base_args) == 0
+    assert open(out, "rb").read() == open(
+        os.path.join(fix, "cstranslate_fas_query.golden"), "rb").read()
+
+    # -a appends; two runs double the payload
+    app = str(tmp_path / "app.as")
+    for _ in range(2):
+        assert cmd_cstranslate(["-i", fas, "-a", app,
+                                "-I", "fas"] + base_args) == 0
+    single = open(os.path.join(fix, "cstranslate_fas_query.golden"),
+                  "rb").read()
+    assert open(app, "rb").read() == single + single
