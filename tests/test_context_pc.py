@@ -186,3 +186,34 @@ def test_prepare_query_hmm_with_crf(tmp_path):
     assert e1 is e2 and e1 is not None
     par.nocontxt = True
     assert get_context_engine(par) is None
+
+
+def test_crf_serialization_crossvalidated_against_reference_binary():
+    """The committed synthetic CRF (fixtures/crossval_syn.crf, the SAME
+    bytes _make_crf_text emits) was fed to the round-2 REFERENCE
+    cstranslate build (-D syn.crf, its real Crf::Read parser,
+    src/cs/crf-inl.h:54-74); its output is committed as
+    cstranslate_crf.golden.  This framework's CRF loader + engine must
+    reproduce it byte-for-byte — pinning our reader against the real
+    serialization, not just our own writer."""
+    import os
+
+    from hhsuite_tpu.cli.main import cmd_cstranslate
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures")
+    # the fixture must stay in sync with the generator
+    assert open(os.path.join(fix, "crossval_syn.crf")).read() \
+        == _make_crf_text()
+    out = os.path.join(fix, "..", "..", "/tmp/crf_out.as")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        out = os.path.join(td, "out.as")
+        rc = cmd_cstranslate(
+            ["-i", os.path.join(fix, "cst_in.a3m"), "-o", out,
+             "-A", "internal",
+             "-D", os.path.join(fix, "crossval_syn.crf"),
+             "-x", "0.3", "-c", "4", "-I", "a3m"])
+        assert rc == 0
+        assert open(out, "rb").read() == open(
+            os.path.join(fix, "cstranslate_crf.golden"), "rb").read()
