@@ -181,11 +181,10 @@ class HMM:
         self.p[0] = self.pav
         self.p[L + 1] = self.pav
 
-    def include_null_model(self, q: "HMM", columnscore: int, pb: np.ndarray):
-        """Divide template p by the null distribution (hhhmm.cpp:2059-2144).
-
-        After this, p holds odds-ratios (p[j][a] / pnul[a]).
-        """
+    def null_vector(self, q: "HMM", columnscore: int,
+                    pb: np.ndarray) -> np.ndarray:
+        """The null distribution include_null_model divides by
+        (hhhmm.cpp:2059-2138), without mutating anything."""
         if columnscore == 0:
             pnul = pb
         elif columnscore == 1:
@@ -196,6 +195,14 @@ class HMM:
             pnul = q.pav
         else:
             raise NotImplementedError(f"columnscore {columnscore}")
+        return pnul
+
+    def include_null_model(self, q: "HMM", columnscore: int, pb: np.ndarray):
+        """Divide template p by the null distribution (hhhmm.cpp:2059-2144).
+
+        After this, p holds odds-ratios (p[j][a] / pnul[a]).
+        """
+        pnul = self.null_vector(q, columnscore, pb)
         # single-precision division like the reference's float pnul[20]
         # loop (hhhmm.cpp:2139-2142); also what the device-resident
         # template pack replays on TPU (IEEE f32 divide, bit-exact)

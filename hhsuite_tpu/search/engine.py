@@ -178,6 +178,36 @@ class HHDatabase:
                                             use_global_weights)
         return _fast_copy_hmm(t), fmt
 
+    def get_template_hmm_search(self, name: str, par: Parameters,
+                                mats: SubstitutionMatrix, q: HMM,
+                                use_global_weights: int = 1
+                                ) -> Tuple[HMM, int]:
+        """Search-path handout: the cached prepared template with the
+        null-model division (finish_template_hmm) fused into the copy —
+        one out-of-place f32 divide replaces copy-then-divide-in-place,
+        and ``tr`` is SHARED read-only (the Viterbi path never mutates
+        transitions; the realign path must keep using
+        get_template_hmm_prepared, which privatizes tr)."""
+        import copy
+
+        t, fmt = self._prepared_cache_entry(name, par, mats,
+                                            use_global_weights)
+        pb_t = getattr(t, "pb_hmmer", None)
+        pnul32 = np.asarray(
+            t.null_vector(q, par.columnscore,
+                          pb_t if pb_t is not None else mats.pb),
+            dtype=np.float32)
+        c = copy.copy(t)
+        if t.p.shape[0] == t.L + 2:
+            c.p = (t.p.astype(np.float32, copy=False)
+                   / pnul32[None, :])
+        else:                       # unusual buffer shape: exact path
+            c.p = t.p.copy()
+            c.p[: t.L + 2] = (c.p[: t.L + 2].astype(np.float32)
+                              / pnul32[None, :])
+        c.pnul_used = pnul32
+        return c, fmt
+
     def _load_template_hmm(self, name: str, par: Parameters,
                            mats: SubstitutionMatrix,
                            use_global_weights: int = 1) -> Tuple[HMM, int]:
@@ -336,6 +366,11 @@ class MultiHHDatabase:
                               use_global_weights=1):
         return self._db_for(name)._prepared_cache_entry(
             name, par, mats, use_global_weights)
+
+    def get_template_hmm_search(self, name, par, mats, q,
+                                use_global_weights=1):
+        return self._db_for(name).get_template_hmm_search(
+            name, par, mats, q, use_global_weights)
 
     def get_template_a3m_text(self, name):
         return self._db_for(name).get_template_a3m_text(name)
@@ -735,9 +770,8 @@ def run_hhsearch(par: Parameters, query_text: str, db: HHDatabase,
     entries = db.init_no_prefilter()
     templates = []
     for name, seqlen in entries:
-        t, fmt = db.get_template_hmm_prepared(name, par, mats,
-                                              use_global_weights=1)
-        finish_template_hmm(par, q, t, mats)
+        t, fmt = db.get_template_hmm_search(name, par, mats, q,
+                                            use_global_weights=1)
         templates.append((name, t))
 
     rpack = get_resident_pack(db, [n for n, _l in entries], par, mats)

@@ -50,9 +50,8 @@ def rescore_previous_hits(par: Parameters, q: HMM, db: HHDatabase,
 
     templates = []
     for name in entry_names:
-        t, fmt = db.get_template_hmm_prepared(name, par, mats,
-                                              use_global_weights=1)
-        finish_template_hmm(par, q, t, mats)
+        t, fmt = db.get_template_hmm_search(name, par, mats, q,
+                                            use_global_weights=1)
         templates.append((name, t))
 
     from .engine import get_resident_pack
@@ -165,9 +164,8 @@ def run_hhblits(par: Parameters, query_text: str, db: HHDatabase,
 
         templates = []
         for name in entry_names:
-            t, fmt = db.get_template_hmm_prepared(name, par, mats,
-                                                  use_global_weights=1)
-            finish_template_hmm(par, q, t, mats)
+            t, fmt = db.get_template_hmm_search(name, par, mats, q,
+                                                use_global_weights=1)
             templates.append((name, t))
 
         from .engine import get_resident_pack
@@ -201,9 +199,8 @@ def run_hhblits(par: Parameters, query_text: str, db: HHDatabase,
                            "Viterbi algorithm")
                 old_templates = []
                 for name in old_entry_names:
-                    t, fmt = db.get_template_hmm_prepared(
-                        name, par, mats, use_global_weights=1)
-                    finish_template_hmm(par, q, t, mats)
+                    t, fmt = db.get_template_hmm_search(
+                        name, par, mats, q, use_global_weights=1)
                     old_templates.append((name, t))
                 from .engine import get_resident_pack
                 # allow_funnel=False: realign_old_hits hits go straight

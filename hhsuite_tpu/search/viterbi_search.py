@@ -430,8 +430,12 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
     if _on_tpu():
         # bigger backtrace-kernel batches amortize per-dispatch latency
         # AND per-fetch link latency (~30 ms/round-trip on tunneled
-        # TPU): one 512-lane batch needs 1 fetch where 4x128 needs 4
-        batch_size = max(batch_size, 512)
+        # TPU); 1024 balances fetch count against per-batch HBM
+        # footprint (the bt matrix is O(B*Lq*Lt))
+        import os as _os
+
+        batch_size = max(batch_size, int(_os.environ.get(
+            "HHSUITE_TPU_BT_BATCH", "1024")))
     smin = par.smin
     hits: List[Hit] = []
     # per-template accumulated exclusion paths
