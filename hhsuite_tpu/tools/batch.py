@@ -437,7 +437,9 @@ def main(argv: List[str]) -> int:
         print("hhblits_batch -i <query ffindex base> -d <db base> "
               "-o <out base> [-n rounds] [-cpu N] [-hhsearch] "
               "[-shard k/N] [-queue <shared dir>] "
-              "[-merge shard1,shard2,.. -o out]",
+              "[-rank R -size N -addr host:port "
+              "[-jax_coordinator host:port]] "
+              "[-merge shard1,shard2,.. -o out [-i in]]",
               file=sys.stderr)
         return 4
     run_batch(in_base, db_base, out_base, mode, par_overrides, threads,
