@@ -34,4 +34,36 @@ def _tune_malloc():
         pass
 
 
+def _enable_compilation_cache():
+    """Point JAX at a persistent compilation cache.
+
+    XLA compiles each (kernel, shape) server-side at ~10-60 s on
+    remote-TPU setups; with the persistent cache, repeat CLI processes
+    load compiled programs in <1 s instead of recompiling.  Respects an
+    existing JAX_COMPILATION_CACHE_DIR; opt out with
+    HHSUITE_TPU_NO_COMPILATION_CACHE=1.  Safe to call before or after
+    jax is first imported (the env var is read lazily; if jax is already
+    live we set the config knob directly)."""
+    import os
+    import sys
+
+    if os.environ.get("HHSUITE_TPU_NO_COMPILATION_CACHE"):
+        return
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "jax_comp")
+    try:
+        os.makedirs(cache, exist_ok=True)
+    except OSError:
+        return
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache)
+    if "jax" in sys.modules:   # env no longer read: set config directly
+        try:
+            import jax
+
+            jax.config.update("jax_compilation_cache_dir", cache)
+        except Exception:
+            pass
+
+
 _tune_malloc()
+_enable_compilation_cache()

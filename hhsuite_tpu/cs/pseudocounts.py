@@ -24,9 +24,12 @@ AdmixToTargetNeff) with the admixture functors of src/cs/pseudocounts.h
 
 The stock ``context_data.crf`` weights are not shipped (absent from the
 reference checkout as well — only referenced by data/CMakeLists.txt), so
-engines are constructed from a user-supplied ``-contxt`` file; without
-one, callers fall back to substitution-matrix pseudocounts exactly as
-the reference's ``-nocontxt`` mode does.
+engines are constructed from a user-supplied ``-contxt`` file.  Without
+one, ``get_context_engine`` probes ``$HHLIB/data/context_data.{crf,lib}``
+(the scripts/HHPaths.pm convention) and, failing that, falls back to
+substitution-matrix pseudocounts exactly as the reference's
+``-nocontxt`` mode does — with a one-time warning, since the reference
+binary defaults to CRF context pseudocounts (hhfunc.cpp:221-236).
 """
 
 from __future__ import annotations
@@ -339,19 +342,69 @@ class ContextPseudocountsEngine:
 
 
 _engine_cache = {}
+_warned_no_context = False
+
+
+def discover_context_file():
+    """Probe for an installed context_data file like the reference's
+    scripts do via $HHLIB (scripts/HHPaths.pm reads HHLIB and resolves
+    data/context_data.crf).  Returns a path or None.  Checked locations,
+    in order: $HHLIB/data/context_data.{crf,lib}, then
+    $HHSUITE_TPU_DATA/context_data.{crf,lib}."""
+    import os
+
+    roots = []
+    hhlib = os.environ.get("HHLIB")
+    if hhlib:
+        roots.append(os.path.join(hhlib, "data"))
+    extra = os.environ.get("HHSUITE_TPU_DATA")
+    if extra:
+        roots.append(extra)
+    for root in roots:
+        for name in ("context_data.crf", "context_data.lib"):
+            path = os.path.join(root, name)
+            if os.path.isfile(path):
+                return path
+    return None
 
 
 def get_context_engine(par):
     """Cached engine lookup for the search drivers.
 
-    Returns None in ``-nocontxt`` mode or when no ``-contxt`` file is
-    given (the stock context_data.crf is not shipped; see module
-    docstring).  The cached engine keeps its admixture functors across
-    queries, matching the reference's long-lived Admix objects (mutated
-    in place by AdmixToTargetNeff).
+    The reference defaults to CRF context pseudocounts built from an
+    embedded context_data.crf (hhfunc.cpp:221-236); that data file is
+    not shipped here, so without ``-contxt`` we (a) probe a standard
+    HH-suite install via $HHLIB (discover_context_file), and (b) if
+    nothing is found, fall back to substitution-matrix pseudocounts
+    (``-nocontxt`` semantics) with a loud one-time warning.  Explicit
+    ``-nocontxt`` suppresses both.  The cached engine keeps its
+    admixture functors across queries, matching the reference's
+    long-lived Admix objects (mutated in place by AdmixToTargetNeff).
     """
-    if par.nocontxt or not par.clusterfile:
+    global _warned_no_context
+    if par.nocontxt:
         return None
+    if not par.clusterfile:
+        found = discover_context_file()
+        if found:
+            from .. import log
+
+            par.clusterfile = found
+            log.info(f"Using context file {found} (discovered via "
+                     "HHLIB) for context-specific pseudocounts")
+        else:
+            if not _warned_no_context:
+                from .. import log
+
+                log.warning(
+                    "No context file: falling back to substitution-"
+                    "matrix pseudocounts (-nocontxt semantics). The "
+                    "reference hh-suite defaults to CRF context "
+                    "pseudocounts (hhfunc.cpp:221-236); pass -contxt "
+                    "<context_data.crf> or set HHLIB to a standard "
+                    "HH-suite install to match its default output.")
+                _warned_no_context = True
+            return None
     key = (par.clusterfile, par.csw, par.csb,
            par.pc_hhm_context_mode, par.pc_hhm_context_a,
            par.pc_hhm_context_b, par.pc_hhm_context_c,

@@ -217,3 +217,47 @@ def test_crf_serialization_crossvalidated_against_reference_binary():
         assert rc == 0
         assert open(out, "rb").read() == open(
             os.path.join(fix, "cstranslate_crf.golden"), "rb").read()
+
+
+def test_context_discovery_via_hhlib_and_nocontxt_warning(tmp_path,
+                                                          monkeypatch,
+                                                          capsys):
+    """Reference hhblits defaults to CRF context pseudocounts
+    (hhfunc.cpp:221-236, embedded context_data.crf).  Without -contxt we
+    must (a) discover $HHLIB/data/context_data.crf like
+    scripts/HHPaths.pm, and (b) otherwise warn loudly ONCE that the run
+    degrades to -nocontxt semantics."""
+    import hhsuite_tpu.cs.pseudocounts as pc
+    from hhsuite_tpu.constants import Parameters
+
+    # (a) discovery: synthetic CRF at $HHLIB/data/context_data.crf
+    hhlib = tmp_path / "hh"
+    (hhlib / "data").mkdir(parents=True)
+    (hhlib / "data" / "context_data.crf").write_text(
+        _make_crf_text(K=5, wlen=3, seed=21))
+    monkeypatch.setenv("HHLIB", str(hhlib))
+    par = Parameters()
+    assert par.clusterfile == ""
+    eng = pc.get_context_engine(par)
+    assert eng is not None
+    assert par.clusterfile == str(hhlib / "data" / "context_data.crf")
+
+    # (b) no HHLIB, no -contxt: None + one-time warning mentioning
+    # -nocontxt and the reference default
+    monkeypatch.delenv("HHLIB", raising=False)
+    monkeypatch.delenv("HHSUITE_TPU_DATA", raising=False)
+    monkeypatch.setattr(pc, "_warned_no_context", False)
+    par2 = Parameters()
+    assert pc.get_context_engine(par2) is None
+    err = capsys.readouterr().err
+    assert "WARNING" in err and "-nocontxt" in err and "-contxt" in err
+    # second call: silent (one-time)
+    assert pc.get_context_engine(par2) is None
+    assert "WARNING" not in capsys.readouterr().err
+
+    # (c) explicit -nocontxt: silent None
+    monkeypatch.setattr(pc, "_warned_no_context", False)
+    par3 = Parameters()
+    par3.nocontxt = True
+    assert pc.get_context_engine(par3) is None
+    assert "WARNING" not in capsys.readouterr().err
