@@ -267,6 +267,100 @@ def sharded_lanes_scores(qp, qtr, tp, ttr, t_L, shift, ss_kw=None,
         replicated_args=(qp, qtr))
 
 
+def global_topk_scores(local_scores: np.ndarray, k: int):
+    """Global top-k merge of per-shard candidate scores across ALL jax
+    processes — the multi-host database-sharding reduction (SURVEY §5:
+    "global top-k hitlist merged via all_gather"; the reference's
+    nearest analogue is the filesystem merge ffmerge_splits,
+    src/hhblits_mpi.cpp:83-93).
+
+    Each process holds the scores of ITS database shard (any length,
+    may differ per process).  Every process contributes its local top-k
+    candidates; one ``lax.all_gather`` over the global device mesh
+    (Gloo on CPU hosts, ICI/DCN on TPU slices) replicates the candidate
+    set, and the final top-k is computed identically everywhere.
+    Returns ``(scores, process_ids, local_indices)`` of length
+    ``min(k, total)`` — byte-identical on every process, deterministic
+    tie-break by (score desc, process asc, local index asc).
+
+    With a single process this reduces to a host argsort — no device
+    round trip.
+    """
+    import jax
+
+    local_scores = np.asarray(local_scores, np.float32)
+    order = np.argsort(-local_scores, kind="stable")[:k]
+    cand_s = local_scores[order]
+    cand_i = order.astype(np.int32)
+    nproc = jax.process_count()
+    if nproc == 1:
+        pid = np.zeros(len(order), np.int32)
+        return cand_s, pid, cand_i
+
+    # pad every process's candidate list to k so shapes agree
+    pad = k - len(order)
+    if pad > 0:
+        cand_s = np.concatenate([cand_s, np.full(pad, -np.inf,
+                                                 np.float32)])
+        cand_i = np.concatenate([cand_i, np.full(pad, -1, np.int32)])
+
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:                     # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    devs = jax.devices()                    # GLOBAL device list
+    mesh = Mesh(np.array(devs), ("p",))
+    nd = len(devs)
+    # one row per device; processes with multiple local devices place
+    # their candidates on the first local device and -inf rows on the
+    # rest (simplest layout that keeps rows == devices)
+    local_devs = jax.local_devices()
+    rows = {d: np.full((1, k), -np.inf, np.float32) for d in local_devs}
+    irows = {d: np.full((1, k), -1, np.int32) for d in local_devs}
+    rows[local_devs[0]] = cand_s[None]
+    irows[local_devs[0]] = cand_i[None]
+    gs = jax.make_array_from_single_device_arrays(
+        (nd, k), NamedSharding(mesh, P("p", None)),
+        [jax.device_put(rows[d], d) for d in local_devs])
+    gi = jax.make_array_from_single_device_arrays(
+        (nd, k), NamedSharding(mesh, P("p", None)),
+        [jax.device_put(irows[d], d) for d in local_devs])
+
+    import jax.numpy as jnp
+
+    def gather(s, i):
+        return (jax.lax.all_gather(s[0], "p"),
+                jax.lax.all_gather(i[0], "p"))
+
+    try:
+        smapped = shard_map(gather, mesh=mesh,
+                            in_specs=(P("p", None),) * 2,
+                            out_specs=(P(), P()), check_vma=False)
+    except TypeError:                       # older jax: check_rep
+        smapped = shard_map(gather, mesh=mesh,
+                            in_specs=(P("p", None),) * 2,
+                            out_specs=(P(), P()), check_rep=False)
+    fn = jax.jit(smapped,
+                 out_shardings=(NamedSharding(mesh, P()),) * 2)
+    all_s, all_i = fn(gs, gi)
+    all_s = np.asarray(all_s.addressable_data(0))   # (nd, k) replicated
+    all_i = np.asarray(all_i.addressable_data(0))
+
+    # device row -> owning process id
+    row_pid = np.array([d.process_index for d in devs], np.int32)
+    flat_s = all_s.reshape(-1)
+    flat_i = all_i.reshape(-1)
+    flat_p = np.repeat(row_pid, k)
+    valid = flat_i >= 0
+    flat_s, flat_i, flat_p = flat_s[valid], flat_i[valid], flat_p[valid]
+    sel = np.lexsort((flat_i, flat_p, -flat_s))[:k]
+    return flat_s[sel], flat_p[sel], flat_i[sel]
+
+
 def sharded_prefilter_scores(kernel, qc, db, db_len, *scalars):
     """Stage-1/2 prefilter kernels over a DB-sequence shard per device.
 

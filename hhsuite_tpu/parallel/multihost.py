@@ -60,8 +60,14 @@ def _recv(conn: socket.socket):
 def _master(addr: str, size: int, n_entries: int, chunk: int,
             results: Dict[str, Dict[str, bytes]],
             order: Dict[str, int]) -> None:
-    """MPQ_Master: accept size-1 workers, deal [start,end) ranges on
-    request, collect per-entry results until every worker drains."""
+    """MPQ_Master with failure recovery: accept size-1 workers, deal
+    index ranges on request, collect per-entry results until every
+    entry is done.  Unlike the reference's MPQ (whose deal loop loses a
+    crashed rank's range, lib/ffindex/src/mpq/mpq.h:25-60), work dealt
+    to a connection that drops before reporting results is returned to
+    the pool and re-dealt to surviving workers; a worker that asks for
+    work while other workers still hold outstanding entries blocks
+    until that work completes or is re-dealt."""
     host, port = addr.rsplit(":", 1)
     srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
     srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -70,28 +76,57 @@ def _master(addr: str, size: int, n_entries: int, chunk: int,
     conns = [srv.accept()[0] for _ in range(size - 1)]
     srv.close()
 
-    next_idx = 0
-    lock = threading.Lock()
+    cv = threading.Condition()
+    next_idx = 0            # fresh-work pointer
+    redeal: List[int] = []  # indices returned by dead workers
+    done: set = set()       # indices with results received
 
     def serve(conn):
         nonlocal next_idx
+        mine: set = set()
         try:
             while True:
                 msg = _recv(conn)
                 if msg[0] == "next":
-                    with lock:
-                        start = next_idx
-                        end = min(start + chunk, n_entries)
-                        next_idx = end
-                    if start >= n_entries:
-                        _send(conn, ("done",))
-                        return
-                    _send(conn, ("work", list(range(start, end))))
+                    with cv:
+                        batch: List[int] = []
+                        while True:
+                            while redeal and len(batch) < chunk:
+                                batch.append(redeal.pop(0))
+                            while (next_idx < n_entries
+                                   and len(batch) < chunk):
+                                batch.append(next_idx)
+                                next_idx += 1
+                            if batch:
+                                break
+                            if len(done) >= n_entries:
+                                # every entry has a result — retire.
+                                # (Workers wait rather than retiring
+                                # while entries are merely outstanding,
+                                # so a holder's death can still be
+                                # re-dealt to THIS worker.)
+                                _send(conn, ("done",))
+                                return
+                            # wait for a death (re-deal) or completion
+                            cv.wait(timeout=0.25)
+                        mine.update(batch)
+                    _send(conn, ("work", batch))
                 elif msg[0] == "result":
-                    _name, outputs = msg[1], msg[2]
-                    with lock:
-                        results[_name] = outputs
+                    name, outputs = msg[1], msg[2]
+                    with cv:
+                        results[name] = outputs
+                        idx = order.get(name)
+                        if idx is not None:
+                            mine.discard(idx)
+                            done.add(idx)
+                        cv.notify_all()
+        except (ConnectionError, OSError):
+            pass   # worker died; its outstanding work is re-dealt below
         finally:
+            with cv:
+                if mine:
+                    redeal.extend(sorted(mine))
+                    cv.notify_all()
             conn.close()
 
     threads = [threading.Thread(target=serve, args=(c,), daemon=True)
@@ -160,7 +195,19 @@ def run_multihost(in_base: str, db_base: str, out_base: str, rank: int,
     from ..tools.batch import _run_one
 
     host, port = addr.rsplit(":", 1)
-    conn = socket.create_connection((host, int(port)), timeout=600)
+    conn = None
+    deadline = 120.0   # ranks start simultaneously; master may bind late
+    import time
+
+    t0 = time.monotonic()
+    while conn is None:
+        try:
+            conn = socket.create_connection((host, int(port)),
+                                            timeout=600)
+        except OSError:
+            if time.monotonic() - t0 > deadline:
+                raise
+            time.sleep(0.2)
     par_dict = dict(par_overrides or {})
     try:
         while True:
