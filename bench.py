@@ -295,6 +295,27 @@ def _run_pairs_point(n_templates, base, query, baseline, label,
     }
 
 
+def bench_tpu_golden():
+    """Correctness assertion ON THE REAL CHIP: golden hhsearch on the
+    current platform vs reference-binary fixtures (tools/tpu_check.py).
+    Verdict goes into the metric stream AND TPU_GOLDEN.json so the
+    driver artifact always records whether TPU-compiled kernels produce
+    reference-equivalent output (VERDICT r3 missing item #1)."""
+    from hhsuite_tpu.tools.tpu_check import run_check
+
+    verdict = run_check()
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "TPU_GOLDEN.json")
+    with open(path, "w") as f:
+        json.dump(verdict, f, indent=1)
+    emit({
+        "metric": "tpu_golden_pass",
+        "value": 1.0 if verdict.get("pass") else 0.0,
+        "unit": f"bool (platform={verdict.get('platform')})",
+        "vs_baseline": 1.0 if verdict.get("pass") else 0.0,
+    })
+
+
 def bench_pairs():
     """End-to-end hhblits -n 1 at the 512- and 8192-template points."""
     from hhsuite_tpu.tools.benchdb import build_bench_db
@@ -318,6 +339,7 @@ def bench_pairs():
 if __name__ == "__main__":
     main()
     bench_prefilter()
+    bench_tpu_golden()
     bench_scaling()
     bench_pairs()
     # FINAL line: the headline 512-pt pairs/s metric, with every other
