@@ -321,12 +321,26 @@ class HitList:
         return len(self.hits)
 
     def sort(self):
-        self.hits.sort(key=Hit.sort_key)
+        """Stable ascending sort by (score_sort, file) — operator<
+        (hhhit.h:122-133).  Vectorized via np.lexsort (stable, same
+        ordering as the tuple-key list sort) for large lists; falls
+        back to the tuple sort when keys are non-finite (NaN tuple
+        comparisons have list.sort semantics the reference's
+        float operator< shares)."""
+        hits = self.hits
+        if len(hits) > 64:
+            ss = np.array([h.score_sort for h in hits], np.float64)
+            if not np.isnan(ss).any():
+                files = np.array([h.file or "" for h in hits])
+                order = np.lexsort((files, ss))
+                self.hits = [hits[int(k)] for k in order]
+                return
+        hits.sort(key=Hit.sort_key)
 
     def resort(self):
         """ResortList (list.h:710): insertion re-sort by operator<, i.e.
         (score_sort, file) — E-value updates don't change the key."""
-        self.hits.sort(key=Hit.sort_key)
+        self.sort()
 
     def calculate_pvalues(self, q, loc: int, ssm: int, ssw: float):
         """CalculatePvalues (hhhitlist.cpp:499-531); the per-hit NN
@@ -357,11 +371,45 @@ class HitList:
         scores = np.array([h.score for h in hits], np.float64)
         logp_v = log_pvalue(scores, lamda_v, mu_v)
         pval_v = pvalue(scores, lamda_v, mu_v)
+        # CalcEvalScoreProbab + CalcProbab vectorized over the list —
+        # identical f64 element-wise math to the scalar methods
+        logN = math.log(self.N_searched)
+        logeval_v = logp_v + logN
+        eval_v = np.exp(logeval_v)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            base = np.where(logp_v < -10.0, logp_v,
+                            np.log(-np.log(1.0 - pval_v)))
+        ss_v = np.array([h.score_ss for h in hits], np.float64)
+        aass = (base / 0.45
+                - np.minimum(lamda_v * ss_v,
+                             np.maximum(0.0, 0.2 * (scores - 8.0))) / 0.45
+                - 3.0)
+        s = -aass
+        if loc:
+            if ssm and ssw > 0:
+                ssflag = np.array([bool(h.ssm1 or h.ssm2) for h in hits])
+            else:
+                ssflag = np.zeros(n, bool)
+            a = np.where(ssflag, math.sqrt(6000.0), math.sqrt(4000.0))
+            b = np.float64(5.0)
+            c = np.where(ssflag, math.sqrt(0.12), math.sqrt(0.15))
+            d = np.where(ssflag, 64.0, 68.0)
+        else:
+            if ssm > 0 and ssw > 0:
+                a, b, c, d = math.sqrt(4000.0), 6.0, math.sqrt(0.13), 68.0
+            else:
+                a, b, c, d = math.sqrt(6000.0), 5.0, math.sqrt(0.10), 74.0
+        with np.errstate(over="ignore", invalid="ignore"):
+            t = a * np.exp(-s / b) + c * np.exp(-s / d)
+            probab = np.where(s > 200.0, 100.0, 100.0 / (1.0 + t * t))
         for k, hit in enumerate(hits):
             hit.logPval = float(logp_v[k])
             hit.Pval = float(pval_v[k])
-            hit.calc_eval_score_probab(self.N_searched, float(lamda_v[k]),
-                                       loc, ssm, ssw)
+            hit.Eval = float(eval_v[k])
+            hit.logEval = float(logeval_v[k])
+            hit.score_aass = float(aass[k])
+            hit.score_sort = hit.score_aass
+            hit.Probab = float(probab[k])
         self.sort()
 
     def calculate_hhblits_evalues(self, q, dbsize, alphaa, alphab, alphac,
@@ -369,9 +417,13 @@ class HitList:
         """CalculateHHblitsEvalues (hhhitlist.cpp:463-494)."""
         log_Pcut = math.log(prefilter_evalue_thresh / dbsize)
         log_dbsize = math.log(float(dbsize))
-        for hit in self.hits:
-            alpha = alphaa + alphab * (hit.Neff_HMM - 1) \
-                * (1 - alphac * (q.Neff_HMM - 1))
-            hit.Eval = math.exp(hit.logPval + log_dbsize + alpha * log_Pcut)
-            hit.logEval = hit.logPval + log_dbsize + alpha * log_Pcut
+        hits = self.hits
+        neff = np.array([h.Neff_HMM for h in hits], np.float64)
+        logp = np.array([h.logPval for h in hits], np.float64)
+        alpha = alphaa + alphab * (neff - 1) * (1 - alphac * (q.Neff_HMM - 1))
+        logeval = logp + log_dbsize + alpha * log_Pcut
+        ev = np.exp(logeval)
+        for k, hit in enumerate(hits):
+            hit.Eval = float(ev[k])
+            hit.logEval = float(logeval[k])
         self.resort()

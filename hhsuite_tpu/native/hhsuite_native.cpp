@@ -779,6 +779,172 @@ static PyObject *band_intervals_native(PyObject *, PyObject *args) {
   Py_RETURN_NONE;
 }
 
+/* ---------------------------------------------------------------------
+ * Batched backtrace decode + rescore for the Viterbi search funnel.
+ *
+ * Consumes the int8 walk payload produced on device by
+ * ops/viterbi.py:_backtrace_walk_packed8 (per lane:
+ * [score f32][i2 i16][j2 i16][n i32][state bytes, kmax]) and performs,
+ * for every real lane, what search/viterbi_search.py's phase-2 decode
+ * loop + ops/viterbi.py:backtrace_walk_unpack8 + the batched
+ * scalar_prod20/fast_log2 rescore + backtrace_score_terms did in
+ * Python/numpy — bit-identically:
+ *   - walk positions reconstructed from (i2, j2) + state-determined
+ *     moves (MM:-1,-1; GD/IM:0,-1; DG/MI:-1,0),
+ *   - matched_cols counted from the RAW states (before the reference's
+ *     trailing-MM overwrite, matching backtrace_walk_unpack8),
+ *   - states[n] = MM overwrite (src/hhhit.cpp backtrace ends in MM),
+ *   - per-MM-step S = fast_log2(scalar_prod20(q.p[i], t.p[j])) with
+ *     the CALLER-PROVIDED LUT tables (so the C path shares Python's
+ *     exact tables; fast_log2 = a + lg2[b] + diff[b]*c, f32,
+ *     util-inl.h:108-129),
+ *   - score_ss = 0 (this is the no-SS batch path), corr_term with the
+ *     reference's sequential lag-by-lag f32 accumulation
+ *     (hhviterbi.cpp:224-252), final score = f32(score + corr_term)
+ *     when n > 0.
+ * ------------------------------------------------------------------- */
+static inline float flog2_lut(float x, const float *lg2,
+                              const float *diff) {
+  if (x <= 0.0f) return -100000.0f;
+  int32_t bits;
+  memcpy(&bits, &x, 4);
+  float a = (float)(((bits & 0x7F800000) >> 23) - 0x7F);
+  int b = (bits & 0x007FE000) >> 13;
+  float c = (float)(bits & 0x00001FFF);
+  return (a + lg2[b]) + diff[b] * c;
+}
+
+/* vit_decode_rescore(packed, kmax, B_real, qp, tp_seq, corr, lg2, diff,
+ *                    ii2, jj2, st2, S2, score, scss, n_out, match_out,
+ *                    i2_out, j2_out)
+ *   packed: (B, 12+kmax) int8 C; qp: (Lq+2, 20) f32 C;
+ *   tp_seq: sequence of >= B_real f32 C arrays (Lt_b+2, 20);
+ *   lg2/diff: (1025,) f32 fast_log2 tables (fastmath._fast_log2_tables);
+ *   ii2/jj2: (B, K1) int32 zeroed; st2: (B, K1) int8 zeroed;
+ *   S2: (B, K1) f32 zeroed (K1 >= max(n)+1);
+ *   score/scss: (B,) f32; n/match/i2/j2_out: (B,) int32.
+ */
+static PyObject *vit_decode_rescore(PyObject *, PyObject *args) {
+  Py_buffer pk_b, qp_b, lg2_b, dif_b, ii_b, jj_b, st_b, s2_b, sc_b,
+      ss_b, n_b, m_b, i2_b, j2_b;
+  PyObject *tp_seq;
+  int kmax, B_real;
+  float corr;
+  if (!PyArg_ParseTuple(args, "y*iiy*Ofy*y*w*w*w*w*w*w*w*w*w*w*", &pk_b,
+                        &kmax, &B_real, &qp_b, &tp_seq, &corr, &lg2_b,
+                        &dif_b, &ii_b, &jj_b, &st_b, &s2_b, &sc_b,
+                        &ss_b, &n_b, &m_b, &i2_b, &j2_b))
+    return nullptr;
+  const Py_ssize_t W = 12 + kmax;
+  const Py_ssize_t B = pk_b.len / W;
+  /* row stride of the (B, K1) outputs, from the int8 st2 buffer */
+  const Py_ssize_t K1c = st_b.len / (B ? B : 1);
+  const float *lg2 = (const float *)lg2_b.buf;
+  const float *dif = (const float *)dif_b.buf;
+  Arr2f qp{(const float *)qp_b.buf, 20};
+  const int8_t *pk = (const int8_t *)pk_b.buf;
+  int32_t *ii2 = (int32_t *)ii_b.buf;
+  int32_t *jj2 = (int32_t *)jj_b.buf;
+  int8_t *st2 = (int8_t *)st_b.buf;
+  float *S2 = (float *)s2_b.buf;
+  float *sc_o = (float *)sc_b.buf;
+  float *ss_o = (float *)ss_b.buf;
+  int32_t *n_o = (int32_t *)n_b.buf;
+  int32_t *m_o = (int32_t *)m_b.buf;
+  int32_t *i2_o = (int32_t *)i2_b.buf;
+  int32_t *j2_o = (int32_t *)j2_b.buf;
+
+  PyObject *ret = nullptr;
+  std::vector<Py_buffer> tps;
+  tps.reserve((size_t)B_real);
+  bool ok = true;
+  for (int b = 0; b < B_real && ok; b++) {
+    PyObject *item = PySequence_GetItem(tp_seq, b);
+    Py_buffer tb;
+    if (!item || PyObject_GetBuffer(item, &tb, PyBUF_SIMPLE) != 0) {
+      Py_XDECREF(item);
+      ok = false;
+      break;
+    }
+    Py_DECREF(item);
+    tps.push_back(tb);
+  }
+  if (ok) {
+    for (Py_ssize_t b = 0; b < B_real; b++) {
+      const int8_t *row = pk + b * W;
+      float score;
+      int16_t i2s, j2s;
+      int32_t n;
+      memcpy(&score, row, 4);
+      memcpy(&i2s, row + 4, 2);
+      memcpy(&j2s, row + 6, 2);
+      memcpy(&n, row + 8, 4);
+      if (n < 0) n = 0;
+      if (n > kmax) n = kmax;
+      const int8_t *st = row + 12;
+      Arr2f tp{(const float *)tps[(size_t)b].buf, 20};
+      int32_t *iio = ii2 + b * K1c;
+      int32_t *jjo = jj2 + b * K1c;
+      int8_t *sto = st2 + b * K1c;
+      float *so = S2 + b * K1c;
+      int i = i2s, j = j2s, matched = 0;
+      for (int32_t k = 0; k < n; k++) {
+        int8_t s = st[k];
+        if (s == S_MM) matched++;
+        int di = (s == S_MM || s == S_DG || s == S_MI) ? 1 : 0;
+        int dj = (s == S_MM || s == S_GD || s == S_IM) ? 1 : 0;
+        iio[1 + k] = i;
+        jjo[1 + k] = j;
+        sto[1 + k] = s;
+        i -= di;
+        j -= dj;
+      }
+      if (n > 0) sto[n] = S_MM; /* reference trailing-MM overwrite */
+      /* S on MM steps (post-overwrite mask, matching phase-2's
+       * states[1:] == MM after unpack) */
+      for (int32_t k = 1; k <= n; k++) {
+        if (sto[k] == S_MM)
+          so[k] = flog2_lut(sp20(qp.row(iio[k]), tp.row(jjo[k])), lg2,
+                            dif);
+      }
+      /* correlation term, sequential f32 lag-by-lag */
+      float scorr = 0.0f;
+      for (int lag = 1; lag <= 4; lag++)
+        for (int32_t step = 1 + lag; step <= n; step++)
+          scorr += so[step] * so[step - lag];
+      float sc = score;
+      if (n > 0) sc = sc + corr * scorr;
+      sc_o[b] = sc;
+      ss_o[b] = 0.0f;
+      n_o[b] = n;
+      m_o[b] = matched;
+      i2_o[b] = i2s;
+      j2_o[b] = j2s;
+    }
+    ret = Py_None;
+    Py_INCREF(ret);
+  } else {
+    PyErr_SetString(PyExc_TypeError,
+                    "vit_decode_rescore: bad template buffer");
+  }
+  for (auto &tb : tps) PyBuffer_Release(&tb);
+  PyBuffer_Release(&pk_b);
+  PyBuffer_Release(&qp_b);
+  PyBuffer_Release(&lg2_b);
+  PyBuffer_Release(&dif_b);
+  PyBuffer_Release(&ii_b);
+  PyBuffer_Release(&jj_b);
+  PyBuffer_Release(&st_b);
+  PyBuffer_Release(&s2_b);
+  PyBuffer_Release(&sc_b);
+  PyBuffer_Release(&ss_b);
+  PyBuffer_Release(&n_b);
+  PyBuffer_Release(&m_b);
+  PyBuffer_Release(&i2_b);
+  PyBuffer_Release(&j2_b);
+  return ret;
+}
+
 static PyMethodDef Methods[] = {
     {"parse_index", parse_index, METH_VARARGS,
      "parse .ffindex text -> list[(name, offset, length)]"},
@@ -798,6 +964,8 @@ static PyMethodDef Methods[] = {
      "±W band mask around an alignment path (cell-off construction)"},
     {"band_intervals", band_intervals_native, METH_VARARGS,
      "±W band intervals around an alignment path (compact mask form)"},
+    {"vit_decode_rescore", vit_decode_rescore, METH_VARARGS,
+     "batched walk-payload decode + scalar_prod20/fast_log2 rescore"},
     {nullptr, nullptr, 0, nullptr}};
 
 static struct PyModuleDef moduledef = {

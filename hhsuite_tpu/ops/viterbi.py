@@ -483,6 +483,53 @@ def backtrace_walk_unpack8(packed, kmax):
     return unpack
 
 
+class DecodedBatch:
+    """Arrays from the native batched walk decode (one per lane, with a
+    leading zero column so per-hit slices [:n+1] match the step arrays
+    backtrace_walk_unpack8's unpack(b) built)."""
+
+    __slots__ = ("score", "sc_ss", "i2", "j2", "n", "matched",
+                 "ii2", "jj2", "st2", "S2", "zss")
+
+
+def decode_rescore_native(packed_np, kmax: int, q_p, t_ps, corr: float,
+                          nat) -> DecodedBatch:
+    """Run native vit_decode_rescore over a fetched walk payload.
+
+    ``packed_np``: (B, 12+kmax) int8 host array; ``t_ps``: one (Lt+2, 20)
+    float32 profile array per REAL lane.  Returns per-lane final scores
+    (with the correlation term), matched counts and (B, nmax+1) path
+    arrays whose per-lane slices are bit-identical to the Python
+    decode loop's outputs (see the C source for the parity contract)."""
+    from .. import fastmath as fm
+
+    B = packed_np.shape[0]
+    Breal = len(t_ps)
+    n_hdr = packed_np[:Breal, 8:12].copy().view(np.int32)[:, 0]
+    nmax = int(n_hdr.max()) if Breal else 0
+    K1 = max(nmax, 0) + 1
+    d = DecodedBatch()
+    d.ii2 = np.zeros((B, K1), np.int32)
+    d.jj2 = np.zeros((B, K1), np.int32)
+    d.st2 = np.zeros((B, K1), np.int8)
+    d.S2 = np.zeros((B, K1), np.float32)
+    d.zss = np.zeros(K1, np.float32)
+    d.score = np.zeros(B, np.float32)
+    d.sc_ss = np.zeros(B, np.float32)
+    d.n = np.zeros(B, np.int32)
+    d.matched = np.zeros(B, np.int32)
+    d.i2 = np.zeros(B, np.int32)
+    d.j2 = np.zeros(B, np.int32)
+    lg2, diff = fm._fast_log2_tables()
+    qp32 = np.ascontiguousarray(q_p, dtype=np.float32)
+    tps32 = [np.ascontiguousarray(t, dtype=np.float32) for t in t_ps]
+    nat.vit_decode_rescore(packed_np, int(kmax), int(Breal), qp32,
+                           tps32, float(np.float32(corr)), lg2, diff,
+                           d.ii2, d.jj2, d.st2, d.S2, d.score, d.sc_ss,
+                           d.n, d.matched, d.i2, d.j2)
+    return d
+
+
 def band_intervals(pi, pj, W: int, Lq: int, Lt: int, n_i: int, n_j: int):
     """Per-column / per-row ±W band intervals around a monotone path —
     the compact form of :func:`exclude_alignment_mask`'s region.  A cell

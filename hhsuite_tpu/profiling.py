@@ -59,6 +59,15 @@ def disable_stage_timers() -> None:
     _STAGE_TIMERS = None
 
 
+def stage_add(name: str, seconds: float) -> None:
+    """Accumulate ``seconds`` under ``name`` in the live stage-timer
+    dict (no-op when timers are off).  For hot loops where a
+    TraceAnnotation context per iteration would itself cost time."""
+    timers = _STAGE_TIMERS
+    if timers is not None:
+        timers[name] = timers.get(name, 0.0) + seconds
+
+
 @contextlib.contextmanager
 def annotate(name: str):
     """Named host-side span visible in the profiler timeline.  Falls

@@ -498,6 +498,9 @@ class PosteriorDecoder:
             kmax = Lq + Lt_pad + 2
             packed_d = mac_walk_packed8(b_mac, p_mm_d, i2_d, j2_d,
                                         score_d, kmax=kmax)
+            from ..ops import start_host_copy
+
+            start_host_copy(packed_d)
             pending.append((part, kmax, packed_d))
 
         # Phase 2 — fetch + host-unpack; ONE device->host transfer per

@@ -18,6 +18,7 @@ from ..constants import Parameters
 from ..core.hmm import HMM
 from ..cs.context_lib import AS219_SIZE, ContextLibrary
 from ..ops import prefilter as ops
+from ..ops import start_host_copy
 
 
 def build_query_profile(q_tmp: HMM, lib: ContextLibrary,
@@ -103,6 +104,7 @@ def _bucketed_resident(scores_fn, qc, ent, subset, n_total, *args):
     for bk in ent["buckets"]:
         if sub_set is None:
             sc = scores_fn(qc, bk["db"], bk["ln"], *args)
+            start_host_copy(sc)
             pending.append((bk["idx"], None, sc))
         else:
             rows = [bk["pos"][j] for j in bk["idx"] if int(j) in sub_set]
@@ -115,6 +117,7 @@ def _bucketed_resident(scores_fn, qc, ent, subset, n_total, *args):
             db_sub = bk["db"][pos]         # on-device gather
             ln_sub = bk["ln"][pos]
             sc = scores_fn(qc, db_sub, ln_sub, *args)
+            start_host_copy(sc)
             pending.append((take, len(rows), sc))
     for idx, nrows, sc in pending:
         sc = np.asarray(sc)
@@ -205,14 +208,13 @@ def prefilter_db(par: Parameters, q_tmp: HMM, lib: ContextLibrary,
     score1 = raw1 - corr
     # sort desc by (score, index) — reference sorts pairs ascending then
     # reverses (hhprefilter.cpp:487-489): ties broken by larger index
-    order = sorted(range(num_dbs), key=lambda n: (score1[n], n),
-                   reverse=True)
-    survivors = []
-    for cnt, n in enumerate(order):
-        if cnt >= par.min_prefilter_hits \
-                and score1[n] <= par.preprefilter_smax_thresh:
-            break
-        survivors.append(n)
+    order = np.lexsort((np.arange(num_dbs), score1))[::-1]
+    # cut: first rank >= min_hits whose score drops below the threshold
+    osc = score1[order]
+    drop = np.nonzero((np.arange(num_dbs) >= par.min_prefilter_hits)
+                      & (osc <= par.preprefilter_smax_thresh))[0]
+    cut = int(drop[0]) if drop.size else num_dbs
+    survivors = [int(n) for n in order[:cut]]
 
     from .. import log as hhlog
     hhlog.info(f"HMMs passed 1st prefilter (gapless profile-profile "
@@ -244,20 +246,23 @@ def prefilter_db(par: Parameters, q_tmp: HMM, lib: ContextLibrary,
                              np.int32(gap_init),
                              np.int32(par.prefilter_gap_extend),
                              np.int32(par.prefilter_score_offset))
-    evalues = []
-    for pos, n in enumerate(survivors):
-        ev = factor * lens[n] * float(fm.fpow2(
-            np.float32(-raw2[pos] / par.prefilter_bit_factor)))
-        if ev < par.prefilter_evalue_coarse_thresh:
-            evalues.append((ev, n))
-    evalues.sort(key=lambda t: (t[0], t[1]))
-
-    kept = []
-    for cnt, (ev, n) in enumerate(evalues):
-        if cnt >= par.min_prefilter_hits \
-                and ev > par.prefilter_evalue_thresh:
-            break
-        kept.append(n)
+    # vectorized E-values, same f32 quantization + f64 product order as
+    # the scalar form: (factor * lens[n]) * float(fpow2(f32(-raw2/bf)))
+    surv = np.asarray(survivors, dtype=np.int64)
+    fp = fm.fpow2(((-np.asarray(raw2))
+                   / par.prefilter_bit_factor).astype(np.float32))
+    ev_all = ((factor * lens[surv].astype(np.float64))
+              * np.asarray(fp, np.float64))
+    keep_m = ev_all < par.prefilter_evalue_coarse_thresh
+    sel = np.nonzero(keep_m)[0]
+    # ascending (E-value, index) — matches sort(key=(ev, n))
+    sel = sel[np.lexsort((surv[sel], ev_all[sel]))]
+    ev_sorted = ev_all[sel]
+    n_sorted = surv[sel]
+    drop = np.nonzero((np.arange(sel.size) >= par.min_prefilter_hits)
+                      & (ev_sorted > par.prefilter_evalue_thresh))[0]
+    cut2 = int(drop[0]) if drop.size else sel.size
+    kept = [int(n) for n in n_sorted[:cut2]]
     hhlog.info(f"HMMs passed 2nd prefilter (gapped profile-profile "
                f"alignment)   : {len(kept)}")
 

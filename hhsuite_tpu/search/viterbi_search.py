@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import functools
 import math
+import time as _time
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -22,6 +23,7 @@ from .. import fastmath as fm
 from ..constants import (MAXCF, NDSSP, NSSPRED, Parameters)
 from ..core.hit import Hit
 from ..core.hmm import HMM
+from ..ops import start_host_copy
 from ..ops import viterbi as V
 
 FLT_MAX = float(np.finfo(np.float32).max)
@@ -508,6 +510,9 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
         # asynchronously), then fetch + host-unpack — so batch k+1's
         # device compute overlaps batch k's device->host fetch instead
         # of serializing dispatch->block->unpack per batch.
+        from ..profiling import stage_add
+
+        _t_p1 = _time.perf_counter()
         pending = []
         if pack is not None:
             # resident-pack path: group by length bucket, batches are
@@ -629,6 +634,7 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                 # batch, fetched in phase 2
                 packed_d = V._backtrace_walk_packed8(
                     bt, i2, j2, score, kmax=Lq + Lt_max + 1)
+                start_host_copy(packed_d)
                 pending.append((idxs, batch, ss_hmm_mode,
                                 (packed_d, Lq + Lt_max + 1)))
             else:
@@ -636,12 +642,74 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                                 (np.asarray(score), np.asarray(i2),
                                  np.asarray(j2), np.asarray(bt))))
 
+        stage_add("host_vit_dispatch", _time.perf_counter() - _t_p1)
         from ..native import load as _load_native
+        from ..profiling import annotate
 
         nat = _load_native()
+        q_p32 = np.ascontiguousarray(q.p, dtype=np.float32)
         for idxs, batch, ss_hmm_mode, payload in pending:
+            # ---- native fast path: fetch payload, then decode + walk +
+            # rescore + correlation term in ONE C call per batch (the
+            # per-hit Python loop was ~40% of end-to-end wall at the
+            # 8192-template point); bit-identical to the loop below ----
+            if (len(payload) == 2 and ss_hmm_mode == NO_SS_INFORMATION
+                    and nat is not None
+                    and hasattr(nat, "vit_decode_rescore")):
+                with annotate("viterbi_fetch_wait"):
+                    _t_f = _time.perf_counter()
+                    packed_np = np.ascontiguousarray(
+                        np.asarray(payload[0]))
+                    if _os.environ.get("HHSUITE_TPU_DEBUG_BATCH"):
+                        print(f"[batch] n={len(idxs)} Bp="
+                              f"{payload[0].shape[0]} kmax={payload[1]} "
+                              f"fetch={_time.perf_counter() - _t_f:.3f}s",
+                              flush=True)
+                _t_hb = _time.perf_counter()
+                dec = V.decode_rescore_native(
+                    packed_np, payload[1], q_p32,
+                    [batch[b].p for b in range(len(idxs))],
+                    par.corr, nat)
+                sc_l = dec.score.tolist()
+                n_l = dec.n.tolist()
+                m_l = dec.matched.tolist()
+                i2_l = dec.i2.tolist()
+                j2_l = dec.j2.tolist()
+                for b, tid in enumerate(idxs):
+                    t = batch[b]
+                    nb = n_l[b]
+                    sc = sc_l[b]
+                    hit = Hit()
+                    hit.init_from_hmm(q, t, par.nseqdis, par.ssm)
+                    hit.entry = templates[tid][0]
+                    hit.file = t.file
+                    hit.lastrep = 1 if sc <= smin else 0
+                    hit.score = sc
+                    hit.score_ss = 0.0
+                    hit.score_aass = -sc
+                    hit.S = dec.S2[b, : nb + 1]
+                    hit.S_ss = dec.zss[: nb + 1]
+                    hit.i = dec.ii2[b, : nb + 1]
+                    hit.j = dec.jj2[b, : nb + 1]
+                    hit.states = dec.st2[b, : nb + 1]
+                    hit.nsteps = nb
+                    hit.matched_cols = m_l[b]
+                    hit.i1 = int(dec.ii2[b, nb])
+                    hit.j1 = int(dec.jj2[b, nb])
+                    hit.i2 = i2_l[b]
+                    hit.j2 = j2_l[b]
+                    hit.irep = alignment + 1
+                    hits.append(hit)
+                    if sc > smin:
+                        next_alive.append(tid)
+                        exclude.setdefault(tid, []).append(
+                            (hit.i.copy(), hit.j.copy()))
+                stage_add("host_hitbuild",
+                          _time.perf_counter() - _t_hb)
+                continue
             if len(payload) == 2:
-                unpack = V.backtrace_walk_unpack8(*payload)
+                with annotate("viterbi_fetch_wait"):
+                    unpack = V.backtrace_walk_unpack8(*payload)
                 score, i2, j2 = unpack.score, unpack.i2, unpack.j2
             else:
                 unpack = None
@@ -654,30 +722,32 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                              and nat is not None)
             decoded = []
             if batch_rescore:
-                cat_q, cat_t = [], []
-                for b, tid in enumerate(idxs):
-                    t = batch[b]
-                    if unpack is not None:
-                        i_steps, j_steps, states, matched_cols = \
-                            unpack(b)
+                with annotate("host_decode_rescore"):
+                    cat_q, cat_t = [], []
+                    for b, tid in enumerate(idxs):
+                        t = batch[b]
+                        if unpack is not None:
+                            i_steps, j_steps, states, matched_cols = \
+                                unpack(b)
+                        else:
+                            i_steps, j_steps, states, matched_cols = \
+                                V.backtrace(bt[b], int(i2[b]), int(j2[b]))
+                        mm = states[1:] == V.MM
+                        mi = i_steps[1:][mm]
+                        mj = j_steps[1:][mm]
+                        decoded.append((i_steps, j_steps, states,
+                                        matched_cols, mm, len(mi)))
+                        if len(mi):
+                            cat_q.append(q.p[mi])
+                            cat_t.append(t.p[mj])
+                    if cat_q:
+                        svals = fm.fast_log2(fm.scalar_prod20(
+                            np.concatenate(cat_q), np.concatenate(cat_t)))
                     else:
-                        i_steps, j_steps, states, matched_cols = \
-                            V.backtrace(bt[b], int(i2[b]), int(j2[b]))
-                    mm = states[1:] == V.MM
-                    mi = i_steps[1:][mm]
-                    mj = j_steps[1:][mm]
-                    decoded.append((i_steps, j_steps, states,
-                                    matched_cols, mm, len(mi)))
-                    if len(mi):
-                        cat_q.append(q.p[mi])
-                        cat_t.append(t.p[mj])
-                if cat_q:
-                    svals = fm.fast_log2(fm.scalar_prod20(
-                        np.concatenate(cat_q), np.concatenate(cat_t)))
-                else:
-                    svals = np.zeros(0, np.float32)
-                s_off = 0
+                        svals = np.zeros(0, np.float32)
+                    s_off = 0
 
+            _t_hb = _time.perf_counter()
             for b, tid in enumerate(idxs):
                 t = batch[b]
                 if batch_rescore:
@@ -735,6 +805,7 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                     next_alive.append(tid)
                     exclude.setdefault(tid, []).append(
                         (i_steps.copy(), j_steps.copy()))
+            stage_add("host_hitbuild", _time.perf_counter() - _t_hb)
 
     def _lanes_scores(junk) -> np.ndarray:
         """Score-only sweep with the template-lanes kernel."""
@@ -816,6 +887,7 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                     sc = viterbi_score_lanes(qp_f, qtr_f, tp, ttr, t_L,
                                              np.float32(par.shift),
                                              interpret=interp, **kw)
+            start_host_copy(sc)
             pending.append((positions, nb, sc))
         with annotate("viterbi_lanes_sweep"):
             for positions, nidx, sc in pending:
