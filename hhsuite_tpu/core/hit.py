@@ -116,9 +116,15 @@ def log_pvalue(x, lamda, mu):
                                          mid))
 
 
-@dataclass
+@dataclass(slots=True)
 class Hit:
-    """One query-template alignment (src/hhhit.h:30-147)."""
+    """One query-template alignment (src/hhhit.h:30-147).
+
+    ``slots=True``: tens of thousands of hits are built per query and
+    the E-value/sort loops touch every one — slot storage cuts both
+    the per-instance footprint and attribute-access cost ~2x.  Every
+    post-init attribute (realign matrices, altali step arrays, ...)
+    is declared below."""
 
     name: str = ""
     longname: str = ""
@@ -181,6 +187,17 @@ class Hit:
     ss_pred: Optional[np.ndarray] = None
     ss_conf: Optional[np.ndarray] = None
     sa_dssp: Optional[np.ndarray] = None
+
+    # realign/-omat products and altali bookkeeping (assigned by the
+    # posterior decoder and output writers)
+    P_MM: object = None
+    alt_i: object = None
+    alt_j: object = None
+    forward_matrix: object = None
+    backward_matrix: object = None
+    posterior_matrix: object = None
+    forward_profile: object = None
+    backward_profile: object = None
 
     def init_from_hmm(self, q, t, nseqdis: int, ssm: int):
         """initHitFromHMM (src/hhhit.cpp:235-318): copy display info from t

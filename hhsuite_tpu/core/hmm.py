@@ -25,6 +25,14 @@ class HMM:
     """A profile HMM over internal aa order (A R N D C Q E G H I L K M F P
     S T W Y V)."""
 
+    def __copy__(self):
+        """Shallow shell copy — same semantics as the default
+        copy.copy but ~10x faster (no __reduce_ex__ round-trip); the
+        search path hands out one shell per template per query."""
+        c = self.__class__.__new__(self.__class__)
+        c.__dict__.update(self.__dict__)
+        return c
+
     def __init__(self, L: int = 0, maxseqdis: int = 10238):
         self.maxseqdis = maxseqdis
         self.alloc(L)

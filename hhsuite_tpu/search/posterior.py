@@ -412,6 +412,10 @@ class PosteriorDecoder:
         # device->host fetch in phase 2 (the remote-TPU link charges
         # fixed latency per fetch, which would otherwise serialize
         # with the compute)
+        import time as _t
+
+        from ..profiling import stage_add
+        _t0 = _t.perf_counter()
         pending = []
         for s in range(0, len(items), chunk):
             part = items[s: s + chunk]
@@ -502,12 +506,16 @@ class PosteriorDecoder:
 
             start_host_copy(packed_d)
             pending.append((part, kmax, packed_d))
+        stage_add("host_realign_assemble", _t.perf_counter() - _t0)
 
         # Phase 2 — fetch + host-unpack; ONE device->host transfer per
         # chunk
         for part, kmax, packed_d in pending:
+            _t0 = _t.perf_counter()
             (score, i2, j2, n, mm_count, empty, st, ii,
              jj, post) = mac_walk_unpack8(packed_d, kmax)
+            stage_add("posterior_fetch_wait", _t.perf_counter() - _t0)
+            _t0 = _t.perf_counter()
 
             for b, (hit, t, _co_h) in enumerate(part):
                 saved = (hit.score, hit.score_ss, hit.score_aass,
@@ -554,6 +562,7 @@ class PosteriorDecoder:
                  hit.Pvalt, hit.logPval, hit.logPvalt, hit.Eval,
                  hit.logEval, hit.Probab) = saved
                 hit.P_MM = None
+            stage_add("host_realign_write", _t.perf_counter() - _t0)
 
     def _forward(self, q, t, hit, p_mm, co, shift, scale):
         """hhforwardalgorithm.cpp:10-220 (double precision, row scaled)."""

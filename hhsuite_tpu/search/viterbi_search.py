@@ -531,11 +531,18 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
         for bucket_lt, idxs in batches:
             batch = [tmpl_list[i] for i in idxs]
             # quantize the padded shapes (template length to 64 columns,
-            # batch to a power-of-2 bucket) so the jit cache sees a
-            # handful of shapes instead of one per batch — XLA compiles
-            # at ~10 s/shape, which otherwise dwarfs the compute
+            # batch to a power-of-2 bucket below 256 and a multiple of
+            # 256 above) so the jit cache sees a handful of shapes
+            # instead of one per batch — XLA compiles at ~10 s/shape,
+            # which otherwise dwarfs the compute; the 256-step upper
+            # range keeps bucket-remainder batches (600-900 lanes
+            # common) from paying a full 1024-lane kernel pass
             nb = len(batch)
-            Bp = min(batch_size, 1 << max(0, nb - 1).bit_length())
+            if nb <= 256:
+                Bp = 1 << max(0, nb - 1).bit_length()
+            else:
+                Bp = -(-nb // 256) * 256
+            Bp = min(batch_size, Bp)
             if bucket_lt is not None:
                 Lt_max = bucket_lt
                 tp_all, ttr_all, tL_all, gidx = pack.gather_args(
@@ -924,6 +931,7 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                   and not (par.exclstr or par.template_exclstr)
                   and len(templates) > K_cap)
     funnel_scores: List[float] = []   # all pass-1 scores so far (global)
+    funnel_on = True                  # dropped when a block keeps >=90%
 
     for alignment in range(par.altali):
         if not alive:
@@ -941,7 +949,7 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
             # thread utilization; here it makes padded batches tight)
             junk.sort(key=lambda idx: -tmpl_list[idx].L)
             junk_hit_start = len(hits)
-            if alignment == 0 and use_funnel:
+            if alignment == 0 and use_funnel and funnel_on:
                 scores = _lanes_scores(junk)
                 funnel_scores.extend(scores.tolist())
                 allsc = np.asarray(funnel_scores, dtype=np.float32)
@@ -959,6 +967,13 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                     if not keep[k]:
                         hits.append(_make_light_hit(junk[k],
                                                     float(scores[k])))
+                if len(full) >= 0.9 * len(junk):
+                    # funnel-degenerate workload (near-identical
+                    # templates score above the keep thresholds): the
+                    # score sweep filters nothing, so drop it for the
+                    # remaining blocks — identical output, the lanes
+                    # pass was only ever a work-skipping optimization
+                    funnel_on = False
             else:
                 _run_junk(junk)
             if alignment == 0 and par.early_stopping_filter:
