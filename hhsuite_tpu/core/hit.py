@@ -209,8 +209,9 @@ class Hit:
         nd = min(t.n_display,
                  nseqdis + (t.nss_dssp >= 0) + (t.nsa_dssp >= 0)
                  + (t.nss_pred >= 0) + (t.nss_conf >= 0) + (t.ncons >= 0))
-        self.sname = list(t.sname[: nd])
-        self.seq = list(t.seq[: nd])
+        # slicing already yields fresh lists; no list() re-copy needed
+        self.sname = t.sname[: nd]
+        self.seq = t.seq[: nd]
         self.n_display = nd
         # SS usage flags (hhhit.cpp:289-317)
         self.ssm1 = self.ssm2 = 0

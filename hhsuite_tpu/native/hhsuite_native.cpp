@@ -816,25 +816,31 @@ static inline float flog2_lut(float x, const float *lg2,
 
 /* vit_decode_rescore(packed, kmax, B_real, qp, tp_seq, corr, lg2, diff,
  *                    ii2, jj2, st2, S2, score, scss, n_out, match_out,
- *                    i2_out, j2_out)
+ *                    i2_out, j2_out[, pnul])
  *   packed: (B, 12+kmax) int8 C; qp: (Lq+2, 20) f32 C;
  *   tp_seq: sequence of >= B_real f32 C arrays (Lt_b+2, 20);
  *   lg2/diff: (1025,) f32 fast_log2 tables (fastmath._fast_log2_tables);
  *   ii2/jj2: (B, K1) int32 zeroed; st2: (B, K1) int8 zeroed;
  *   S2: (B, K1) f32 zeroed (K1 >= max(n)+1);
  *   score/scss: (B,) f32; n/match/i2/j2_out: (B,) int32.
+ *   pnul (optional): (B, 20) f32 per-lane null vectors — when given,
+ *   tp rows are RAW profiles and the odds division
+ *   (include_null_model's f32 divide, hhhmm.cpp:2139-2142) happens
+ *   here element-wise, bit-identical to pre-dividing the array.
  */
 static PyObject *vit_decode_rescore(PyObject *, PyObject *args) {
   Py_buffer pk_b, qp_b, lg2_b, dif_b, ii_b, jj_b, st_b, s2_b, sc_b,
-      ss_b, n_b, m_b, i2_b, j2_b;
+      ss_b, n_b, m_b, i2_b, j2_b, pn_b;
   PyObject *tp_seq;
   int kmax, B_real;
   float corr;
-  if (!PyArg_ParseTuple(args, "y*iiy*Ofy*y*w*w*w*w*w*w*w*w*w*w*", &pk_b,
-                        &kmax, &B_real, &qp_b, &tp_seq, &corr, &lg2_b,
-                        &dif_b, &ii_b, &jj_b, &st_b, &s2_b, &sc_b,
-                        &ss_b, &n_b, &m_b, &i2_b, &j2_b))
+  pn_b.buf = nullptr;
+  if (!PyArg_ParseTuple(args, "y*iiy*Ofy*y*w*w*w*w*w*w*w*w*w*w*|y*",
+                        &pk_b, &kmax, &B_real, &qp_b, &tp_seq, &corr,
+                        &lg2_b, &dif_b, &ii_b, &jj_b, &st_b, &s2_b,
+                        &sc_b, &ss_b, &n_b, &m_b, &i2_b, &j2_b, &pn_b))
     return nullptr;
+  const float *pnul = (const float *)pn_b.buf;
   const Py_ssize_t W = 12 + kmax;
   const Py_ssize_t B = pk_b.len / W;
   /* row stride of the (B, K1) outputs, from the int8 st2 buffer */
@@ -902,10 +908,22 @@ static PyObject *vit_decode_rescore(PyObject *, PyObject *args) {
       if (n > 0) sto[n] = S_MM; /* reference trailing-MM overwrite */
       /* S on MM steps (post-overwrite mask, matching phase-2's
        * states[1:] == MM after unpack) */
-      for (int32_t k = 1; k <= n; k++) {
-        if (sto[k] == S_MM)
-          so[k] = flog2_lut(sp20(qp.row(iio[k]), tp.row(jjo[k])), lg2,
-                            dif);
+      if (pnul) {
+        const float *pn = pnul + b * 20;
+        float tdiv[20];
+        for (int32_t k = 1; k <= n; k++) {
+          if (sto[k] == S_MM) {
+            const float *tr = tp.row(jjo[k]);
+            for (int a = 0; a < 20; a++) tdiv[a] = tr[a] / pn[a];
+            so[k] = flog2_lut(sp20(qp.row(iio[k]), tdiv), lg2, dif);
+          }
+        }
+      } else {
+        for (int32_t k = 1; k <= n; k++) {
+          if (sto[k] == S_MM)
+            so[k] = flog2_lut(sp20(qp.row(iio[k]), tp.row(jjo[k])),
+                              lg2, dif);
+        }
       }
       /* correlation term, sequential f32 lag-by-lag */
       float scorr = 0.0f;
@@ -942,6 +960,7 @@ static PyObject *vit_decode_rescore(PyObject *, PyObject *args) {
   PyBuffer_Release(&m_b);
   PyBuffer_Release(&i2_b);
   PyBuffer_Release(&j2_b);
+  if (pn_b.buf) PyBuffer_Release(&pn_b);
   return ret;
 }
 

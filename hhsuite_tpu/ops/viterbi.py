@@ -493,7 +493,7 @@ class DecodedBatch:
 
 
 def decode_rescore_native(packed_np, kmax: int, q_p, t_ps, corr: float,
-                          nat) -> DecodedBatch:
+                          nat, pnul=None) -> DecodedBatch:
     """Run native vit_decode_rescore over a fetched walk payload.
 
     ``packed_np``: (B, 12+kmax) int8 host array; ``t_ps``: one (Lt+2, 20)
@@ -523,10 +523,13 @@ def decode_rescore_native(packed_np, kmax: int, q_p, t_ps, corr: float,
     lg2, diff = fm._fast_log2_tables()
     qp32 = np.ascontiguousarray(q_p, dtype=np.float32)
     tps32 = [np.ascontiguousarray(t, dtype=np.float32) for t in t_ps]
-    nat.vit_decode_rescore(packed_np, int(kmax), int(Breal), qp32,
-                           tps32, float(np.float32(corr)), lg2, diff,
-                           d.ii2, d.jj2, d.st2, d.S2, d.score, d.sc_ss,
-                           d.n, d.matched, d.i2, d.j2)
+    args = [packed_np, int(kmax), int(Breal), qp32, tps32,
+            float(np.float32(corr)), lg2, diff,
+            d.ii2, d.jj2, d.st2, d.S2, d.score, d.sc_ss,
+            d.n, d.matched, d.i2, d.j2]
+    if pnul is not None:
+        args.append(np.ascontiguousarray(pnul, dtype=np.float32))
+    nat.vit_decode_rescore(*args)
     return d
 
 

@@ -199,8 +199,12 @@ class HHDatabase:
             dtype=np.float32)
         c = copy.copy(t)
         if t.p.shape[0] == t.L + 2:
-            c.p = (t.p.astype(np.float32, copy=False)
-                   / pnul32[None, :])
+            # DEFER the odds division: the TPU funnel replays it on
+            # device (resident pack) or inside the native decode
+            # (vit_decode_rescore's pnul path), so most handouts never
+            # need the divided array on host.  Host consumers
+            # materialize it lazily via viterbi_search._template_p.
+            c.p_divided = False
         else:                       # unusual buffer shape: exact path
             c.p = t.p.copy()
             c.p[: t.L + 2] = (c.p[: t.L + 2].astype(np.float32)

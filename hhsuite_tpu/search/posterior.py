@@ -441,17 +441,20 @@ class PosteriorDecoder:
                 # realign_mask_device), ~100x less host->device traffic
                 Wj = Lt_pad + 1
                 P = max((len(s.E) for _h, _t, s in part), default=0)
+                # int16 staging halves the host fill + upload of the
+                # interval tensors (lengths < 2^15; device comparisons
+                # promote against int32 iotas)
                 rect = np.zeros((B, 4), np.int32)
                 corner = np.zeros(B, np.int32)
                 tLv = np.zeros(B, np.int32)
-                loF_c = np.ones((B, Wj), np.int32)
-                hiF_c = np.zeros((B, Wj), np.int32)
-                loF_r = np.ones((B, Lq + 1), np.int32)
-                hiF_r = np.zeros((B, Lq + 1), np.int32)
-                loE_c = np.ones((B, P, Wj), np.int32)
-                hiE_c = np.zeros((B, P, Wj), np.int32)
-                loE_r = np.ones((B, P, Lq + 1), np.int32)
-                hiE_r = np.zeros((B, P, Lq + 1), np.int32)
+                loF_c = np.ones((B, Wj), np.int16)
+                hiF_c = np.zeros((B, Wj), np.int16)
+                loF_r = np.ones((B, Lq + 1), np.int16)
+                hiF_r = np.zeros((B, Lq + 1), np.int16)
+                loE_c = np.ones((B, P, Wj), np.int16)
+                hiE_c = np.zeros((B, P, Wj), np.int16)
+                loE_r = np.ones((B, P, Lq + 1), np.int16)
+                hiE_r = np.zeros((B, P, Lq + 1), np.int16)
                 for b, (_h, t, s) in enumerate(part):
                     rect[b] = (s.i1, s.j1, s.i2, s.j2)
                     corner[b] = s.corner_j0

@@ -74,9 +74,26 @@ def pack_templates(templates: List[HMM], Lt_max: int, B: int = 0,
     for b, t in enumerate(templates):
         L = t.L
         t_L[b] = L
-        tp[b, : L + 1] = t.p[: L + 1]
+        tp[b, : L + 1] = _template_p(t)[: L + 1]
         ttr[b, : L + 1] = t.tr[: L + 1]
     return tp, ttr, t_L
+
+
+def _template_p(t: HMM) -> np.ndarray:
+    """Divided (odds-ratio) profile of a search handout.
+
+    engine.get_template_hmm_search defers include_null_model's f32
+    division (hhhmm.cpp:2139-2142) because the TPU funnel replays it
+    on device or inside the native decode; any host consumer goes
+    through here, which materializes the division once and promotes
+    the handout to the divided state (bit-identical to dividing
+    eagerly)."""
+    if getattr(t, "p_divided", True):
+        return t.p
+    t.p = (t.p.astype(np.float32, copy=False)
+           / t.pnul_used[None, :])
+    t.p_divided = True
+    return t.p
 
 
 def build_ss_score(q: HMM, t: HMM, ss_hmm_mode: int, ssw: float,
@@ -122,7 +139,8 @@ def score_for_backtrace(q: HMM, t: HMM, align_score: float,
     mi = np.asarray(i_steps)[1:][mm]
     mj = np.asarray(j_steps)[1:][mm]
     if len(mi):
-        S[steps[mm]] = fm.fast_log2(fm.scalar_prod20(q.p[mi], t.p[mj]))
+        S[steps[mm]] = fm.fast_log2(fm.scalar_prod20(q.p[mi],
+                                                     _template_p(t)[mj]))
         if ss_hmm_mode != NO_SS_INFORMATION:
             if ss_hmm_mode == PRED_DSSP:
                 sv = ssw * S37[q.ss_pred[mi], q.ss_conf[mi], t.ss_dssp[mj]]
@@ -345,7 +363,7 @@ class ResidentTemplatePack:
             for name, t in new:
                 row = bk["used"]
                 L = t.L
-                bk["tp_h"][row, : L + 1] = t.p[: L + 1]
+                bk["tp_h"][row, : L + 1] = _template_p(t)[: L + 1]
                 bk["ttr_h"][row, : L + 1] = t.tr[: L + 1]
                 bk["t_L_h"][row] = L
                 bk["used"] = row + 1
@@ -574,10 +592,14 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                 # O(B*Lq*Lt) bool mask (~170 MB/batch over the tunnel)
                 P = max(len(exclude.get(i, [])) for i in idxs)
                 Wj = Lt_max + 1
-                lo_c = np.ones((Bp, P, Wj), np.int32)
-                hi_c = np.zeros((Bp, P, Wj), np.int32)
-                lo_r = np.ones((Bp, P, Lq + 1), np.int32)
-                hi_r = np.zeros((Bp, P, Lq + 1), np.int32)
+                # int16 staging: half the host fill + host->device
+                # serialization of the interval tensors (lengths are
+                # bounded by maxres 20001 << 2^15; the device mask
+                # builder's comparisons promote against int32 iotas)
+                lo_c = np.ones((Bp, P, Wj), np.int16)
+                hi_c = np.zeros((Bp, P, Wj), np.int16)
+                lo_r = np.ones((Bp, P, Lq + 1), np.int16)
+                hi_r = np.zeros((Bp, P, Lq + 1), np.int16)
                 for b, i in enumerate(idxs):
                     for p, (pi, pj) in enumerate(exclude.get(i, [])):
                         lc, hc, lr, hr = V.band_intervals(
@@ -673,10 +695,20 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                               f"fetch={_time.perf_counter() - _t_f:.3f}s",
                               flush=True)
                 _t_hb = _time.perf_counter()
+                # raw handouts ship their pnul for the in-C division;
+                # divided lanes get an all-ones row (x / 1.0f == x)
+                nb_real = len(idxs)
+                t_ps = [batch[b].p for b in range(nb_real)]
+                pn = None
+                if any(not getattr(batch[b], "p_divided", True)
+                       for b in range(nb_real)):
+                    pn = np.ones((nb_real, 20), np.float32)
+                    for b in range(nb_real):
+                        if not getattr(batch[b], "p_divided", True):
+                            pn[b] = batch[b].pnul_used
                 dec = V.decode_rescore_native(
-                    packed_np, payload[1], q_p32,
-                    [batch[b].p for b in range(len(idxs))],
-                    par.corr, nat)
+                    packed_np, payload[1], q_p32, t_ps,
+                    par.corr, nat, pnul=pn)
                 sc_l = dec.score.tolist()
                 n_l = dec.n.tolist()
                 m_l = dec.matched.tolist()
@@ -746,7 +778,7 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                                         matched_cols, mm, len(mi)))
                         if len(mi):
                             cat_q.append(q.p[mi])
-                            cat_t.append(t.p[mj])
+                            cat_t.append(_template_p(t)[mj])
                     if cat_q:
                         svals = fm.fast_log2(fm.scalar_prod20(
                             np.concatenate(cat_q), np.concatenate(cat_t)))

@@ -83,6 +83,27 @@ def test_native_decode_matches_python():
         assert int(dec.j2[b]) == int(unpack.j2[b])
 
 
+def test_native_decode_pnul_division_matches_prediv():
+    """Raw profiles + per-lane pnul == pre-divided profiles: the in-C
+    f32 division is the deferred include_null_model (hhhmm.cpp:
+    2139-2142) and must be bit-identical to dividing the array."""
+    rng = np.random.RandomState(3)
+    B, Lq, Lt = 6, 21, 17
+    packed, kmax = _random_payload(rng, B, Lq, Lt)
+    packed = np.ascontiguousarray(packed)
+    qp = rng.rand(Lq + 2, 20).astype(np.float32) + 0.01
+    raw = [rng.rand(Lt + 2, 20).astype(np.float32) + 0.01
+           for _ in range(B)]
+    pnul = rng.rand(B, 20).astype(np.float32) + 0.2
+    prediv = [(raw[b] / pnul[b][None, :]).astype(np.float32)
+              for b in range(B)]
+    d_raw = V.decode_rescore_native(packed, kmax, qp, raw, 0.07, nat,
+                                    pnul=pnul)
+    d_div = V.decode_rescore_native(packed, kmax, qp, prediv, 0.07, nat)
+    np.testing.assert_array_equal(d_raw.S2, d_div.S2)
+    np.testing.assert_array_equal(d_raw.score, d_div.score)
+
+
 def test_native_decode_empty_and_padding():
     rng = np.random.RandomState(11)
     B, Lq, Lt = 4, 9, 7
