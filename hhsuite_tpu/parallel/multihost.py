@@ -59,30 +59,40 @@ def _recv(conn: socket.socket):
 
 def _master(addr: str, size: int, n_entries: int, chunk: int,
             results: Dict[str, Dict[str, bytes]],
-            order: Dict[str, int]) -> None:
-    """MPQ_Master with failure recovery: accept size-1 workers, deal
-    index ranges on request, collect per-entry results until every
-    entry is done.  Unlike the reference's MPQ (whose deal loop loses a
-    crashed rank's range, lib/ffindex/src/mpq/mpq.h:25-60), work dealt
-    to a connection that drops before reporting results is returned to
-    the pool and re-dealt to surviving workers; a worker that asks for
-    work while other workers still hold outstanding entries blocks
-    until that work completes or is re-dealt."""
+            order: Dict[str, int], grace: float = 30.0) -> None:
+    """MPQ_Master with failure recovery: deal index ranges on request,
+    collect per-entry results until every entry is done.  Unlike the
+    reference's MPQ (whose deal loop loses a crashed rank's range,
+    lib/ffindex/src/mpq/mpq.h:25-60), work dealt to a connection that
+    drops before reporting results is returned to the pool and
+    re-dealt to surviving workers; a worker that asks for work while
+    other workers still hold outstanding entries blocks until that
+    work completes or is re-dealt.
+
+    The accept loop is DYNAMIC — the master never blocks on a fixed
+    worker count, so a rank that dies (or never starts) before
+    connecting cannot hang the group; dealing starts with the first
+    worker.  If no worker is connected and none (re)appears within
+    ``grace`` seconds while entries are still outstanding, the master
+    retires with partial results (the writer then warns per missing
+    entry)."""
+    import time as _time
+
     host, port = addr.rsplit(":", 1)
     srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
     srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
     srv.bind((host, int(port)))
-    srv.listen(size)
-    conns = [srv.accept()[0] for _ in range(size - 1)]
-    srv.close()
+    srv.listen(max(size, 8))
+    srv.settimeout(0.5)
 
     cv = threading.Condition()
     next_idx = 0            # fresh-work pointer
+    active = 0              # currently-connected workers
     redeal: List[int] = []  # indices returned by dead workers
     done: set = set()       # indices with results received
 
     def serve(conn):
-        nonlocal next_idx
+        nonlocal next_idx, active
         mine: set = set()
         try:
             while True:
@@ -124,17 +134,42 @@ def _master(addr: str, size: int, n_entries: int, chunk: int,
             pass   # worker died; its outstanding work is re-dealt below
         finally:
             with cv:
+                active -= 1
                 if mine:
                     redeal.extend(sorted(mine))
-                    cv.notify_all()
+                cv.notify_all()
             conn.close()
 
-    threads = [threading.Thread(target=serve, args=(c,), daemon=True)
-               for c in conns]
-    for t in threads:
+    threads: List[threading.Thread] = []
+    last_worker_evt = _time.monotonic()
+    while True:
+        with cv:
+            if len(done) >= n_entries and active == 0:
+                break
+            workerless = active == 0
+        if workerless and _time.monotonic() - last_worker_evt > grace:
+            break              # every worker gone; write what we have
+        try:
+            conn, _peer = srv.accept()
+        except socket.timeout:
+            with cv:
+                if active > 0:
+                    # workers alive: push the grace window forward so
+                    # it measures time WITHOUT workers, not time since
+                    # the last connect
+                    last_worker_evt = _time.monotonic()
+            continue
+        except OSError:
+            break
+        with cv:
+            active += 1
+        last_worker_evt = _time.monotonic()
+        t = threading.Thread(target=serve, args=(conn,), daemon=True)
         t.start()
+        threads.append(t)
+    srv.close()
     for t in threads:
-        t.join()
+        t.join(timeout=grace)
 
 
 def run_multihost(in_base: str, db_base: str, out_base: str, rank: int,

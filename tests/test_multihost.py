@@ -138,6 +138,52 @@ def test_multihost_master_redeals_work_of_dead_worker():
         assert set(results) == set(names)
 
 
+def test_multihost_master_survives_rank_that_never_connects():
+    """A rank that crashes BEFORE connecting (or never starts) must not
+    hang the group: the master's accept loop is dynamic, so a 3-rank
+    lane where only ONE worker ever appears still completes every
+    entry through that worker.  (The original master blocked on
+    exactly size-1 accepts — a pre-connection death deadlocked it.)"""
+    from hhsuite_tpu.parallel import multihost as mh
+
+    names = [f"q{k}" for k in range(4)]
+    port = _free_port()
+    addr = f"127.0.0.1:{port}"
+    results, order = {}, {n: i for i, n in enumerate(names)}
+    master = threading.Thread(
+        target=mh._master, args=(addr, 3, len(names), 1, results,
+                                 order), daemon=True)
+    master.start()
+
+    import time
+
+    conn = None
+    for _ in range(100):
+        try:
+            conn = socket.create_connection(("127.0.0.1", port),
+                                            timeout=30)
+            break
+        except OSError:
+            time.sleep(0.05)
+    assert conn is not None, "master never bound"
+    # rank 2 never connects; the single worker must still drain all
+    got = []
+    while True:
+        mh._send(conn, ("next", 1))
+        msg = mh._recv(conn)
+        if msg[0] == "done":
+            break
+        for idx in msg[1]:
+            got.append(idx)
+            mh._send(conn, ("result", names[idx],
+                            {"hhr": f"p{idx}".encode()}))
+    conn.close()
+    master.join(timeout=60)
+    assert not master.is_alive()
+    assert sorted(got) == [0, 1, 2, 3]
+    assert set(results) == set(names)
+
+
 @pytest.mark.slow
 def test_multihost_rank_worker_death_end_to_end():
     """Full-lane failure injection: 4 ranks where one WORKER PROCESS is
