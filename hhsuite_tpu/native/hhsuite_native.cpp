@@ -889,6 +889,12 @@ static PyObject *vit_decode_rescore(PyObject *, PyObject *args) {
       if (n > kmax) n = kmax;
       const int8_t *st = row + 12;
       Arr2f tp{(const float *)tps[(size_t)b].buf, 20};
+      /* bounds guards: walk positions come from the device payload;
+       * clamp the S-lookup rows to the profile buffers so a corrupt
+       * header cannot read out of bounds (real payloads never clamp) */
+      const int32_t qp_rows = (int32_t)(qp_b.len / (20 * sizeof(float)));
+      const int32_t tp_rows =
+          (int32_t)(tps[(size_t)b].len / (20 * sizeof(float)));
       int32_t *iio = ii2 + b * K1c;
       int32_t *jjo = jj2 + b * K1c;
       int8_t *sto = st2 + b * K1c;
@@ -912,7 +918,8 @@ static PyObject *vit_decode_rescore(PyObject *, PyObject *args) {
         const float *pn = pnul + b * 20;
         float tdiv[20];
         for (int32_t k = 1; k <= n; k++) {
-          if (sto[k] == S_MM) {
+          if (sto[k] == S_MM && iio[k] >= 0 && iio[k] < qp_rows &&
+              jjo[k] >= 0 && jjo[k] < tp_rows) {
             const float *tr = tp.row(jjo[k]);
             for (int a = 0; a < 20; a++) tdiv[a] = tr[a] / pn[a];
             so[k] = flog2_lut(sp20(qp.row(iio[k]), tdiv), lg2, dif);
@@ -920,7 +927,8 @@ static PyObject *vit_decode_rescore(PyObject *, PyObject *args) {
         }
       } else {
         for (int32_t k = 1; k <= n; k++) {
-          if (sto[k] == S_MM)
+          if (sto[k] == S_MM && iio[k] >= 0 && iio[k] < qp_rows &&
+              jjo[k] >= 0 && jjo[k] < tp_rows)
             so[k] = flog2_lut(sp20(qp.row(iio[k]), tp.row(jjo[k])),
                               lg2, dif);
         }

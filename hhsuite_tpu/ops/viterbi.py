@@ -507,7 +507,8 @@ def decode_rescore_native(packed_np, kmax: int, q_p, t_ps, corr: float,
     Breal = len(t_ps)
     n_hdr = packed_np[:Breal, 8:12].copy().view(np.int32)[:, 0]
     nmax = int(n_hdr.max()) if Breal else 0
-    K1 = max(nmax, 0) + 1
+    # clamp like the C side: a corrupt header must not size allocations
+    K1 = min(max(nmax, 0), int(kmax)) + 1
     d = DecodedBatch()
     d.ii2 = np.zeros((B, K1), np.int32)
     d.jj2 = np.zeros((B, K1), np.int32)

@@ -104,6 +104,26 @@ def test_native_decode_pnul_division_matches_prediv():
     np.testing.assert_array_equal(d_raw.score, d_div.score)
 
 
+def test_native_decode_corrupt_header_is_safe():
+    """Adversarial payload headers (huge/negative n, out-of-range
+    endpoints) must not crash or read out of bounds — S lookups for
+    positions outside the profile buffers are skipped, the walk count
+    is clamped to [0, kmax]."""
+    rng = np.random.RandomState(5)
+    B, Lq, Lt = 3, 11, 9
+    packed, kmax = _random_payload(rng, B, Lq, Lt)
+    packed = np.ascontiguousarray(packed).copy()
+    packed[0, 8:12].view(np.int32)[0] = 2 ** 30                # n huge
+    packed[1, 8:12].view(np.int32)[0] = -7                     # n < 0
+    packed[2, 4:6].view(np.int16)[0] = 32000                   # i2 OOB
+    qp = rng.rand(Lq + 2, 20).astype(np.float32)
+    tps = [rng.rand(Lt + 2, 20).astype(np.float32) for _ in range(B)]
+    dec = V.decode_rescore_native(packed, kmax, qp, tps, 0.1, nat)
+    assert int(dec.n[0]) <= kmax
+    assert int(dec.n[1]) == 0
+    assert np.isfinite(dec.S2).all()
+
+
 def test_native_decode_empty_and_padding():
     rng = np.random.RandomState(11)
     B, Lq, Lt = 4, 9, 7
