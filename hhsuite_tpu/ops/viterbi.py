@@ -385,6 +385,79 @@ def _backtrace_walk_packed(bt, i2, j2, score, kmax):
 
 
 @functools.partial(
+    __import__("jax").jit, static_argnames=("kmax", "B"))
+def backtrace_walk_packed8_words(btw, i2, j2, score, kmax, B):
+    """The packed8 walk over the TEMPLATE-LANES backtrace words
+    (ops/viterbi_lanes.viterbi_backtrace_lanes): btw is
+    (nB, Lt, P4, G, BK) int32, four row-bytes per word, lane
+    b = n*G*BK + g*BK + bk.  Identical step logic and payload layout
+    to _backtrace_walk_packed8 — only the byte gather differs (flat
+    word index + in-word shift instead of a (B, Li*Wj) row gather), so
+    backtrace_walk_unpack8 / the native decoder consume either."""
+    import jax
+    import jax.numpy as jnp
+
+    nB, Lt, P4, G, BK = btw.shape
+    TILE = G * BK
+    flat = btw.reshape(-1)
+    i32 = jnp.int32
+    b = jnp.arange(B, dtype=i32)
+    n_idx = b // TILE
+    g_idx = (b % TILE) // BK
+    bk_idx = b % BK
+    base = (n_idx * (Lt * P4) * TILE) + g_idx * BK + bk_idx
+
+    def read_byte(i, j):
+        iq = jnp.maximum(i - 1, 0)
+        jq = jnp.maximum(j - 1, 0)
+        widx = base + ((jq * P4) + (iq >> 2)) * TILE
+        word = jnp.take(flat, widx, mode="clip")
+        return (word >> (8 * (iq & 3))) & 0xFF
+
+    def step(carry, _):
+        i, j, state = carry
+        valid = state != STOP
+        bb = read_byte(i, j)
+        is_mm = state == MM
+        border_ij = (i <= 1) | (j <= 1)
+        mm_next = jnp.where(border_ij, STOP, bb & 7)
+        gd_next = jnp.where(j <= 1, STOP,
+                            jnp.where((bb & 8) > 0, MM, GD))
+        im_next = jnp.where(j <= 1, STOP,
+                            jnp.where((bb & 16) > 0, MM, IM))
+        dg_next = jnp.where(i <= 1, STOP,
+                            jnp.where((bb & 32) > 0, MM, DG))
+        mi_next = jnp.where(i <= 1, STOP,
+                            jnp.where((bb & 64) > 0, MM, MI))
+        nxt = jnp.where(is_mm, mm_next,
+              jnp.where(state == GD, gd_next,
+              jnp.where(state == IM, im_next,
+              jnp.where(state == DG, dg_next,
+              jnp.where(state == MI, mi_next, STOP))))).astype(i32)
+        di = (jnp.where(is_mm & ~border_ij, 1, 0)
+              + jnp.where(((state == DG) | (state == MI)) & (i > 1), 1, 0))
+        dj = (jnp.where(is_mm & ~border_ij, 1, 0)
+              + jnp.where(((state == GD) | (state == IM)) & (j > 1), 1, 0))
+        rec = (jnp.where(valid, state, 0).astype(jnp.int8), valid)
+        i_n = jnp.where(valid, i - di, i)
+        j_n = jnp.where(valid, j - dj, j)
+        s_n = jnp.where(valid, nxt, STOP)
+        return (i_n, j_n, s_n), rec
+
+    init = (i2.astype(i32), j2.astype(i32), jnp.full((B,), MM, i32))
+    _, (st, valid) = jax.lax.scan(step, init, None, length=kmax)
+    n = valid.astype(i32).sum(axis=0)
+
+    def b8(x):
+        return jax.lax.bitcast_convert_type(x, jnp.int8)
+
+    header = jnp.concatenate(
+        [b8(score.astype(jnp.float32)), b8(i2.astype(jnp.int16)),
+         b8(j2.astype(jnp.int16)), b8(n)], axis=1)
+    return jnp.concatenate([header, st.T], axis=1)
+
+
+@functools.partial(
     __import__("jax").jit, static_argnames=("kmax",))
 def _backtrace_walk_packed8(bt, i2, j2, score, kmax):
     """Minimal-payload walk: ONE int8 array per batch of

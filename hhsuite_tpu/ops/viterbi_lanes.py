@@ -346,3 +346,281 @@ def viterbi_score_lanes(qp, qtr, tp, ttr, t_L, shift, ss_score=None,
 
     score = score.reshape(Bp)[:B]
     return jnp.maximum(score, NEG)
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("unroll", "lane_groups", "interpret"))
+def viterbi_backtrace_lanes(qp, qtr, tp, ttr, t_L, shift, Lq_true=None,
+                            unroll=8, lane_groups=8, interpret=False):
+    """Full-backtrace Viterbi in the TEMPLATE-LANES layout (local mode,
+    egq=egt=0, no cell-off, no SS — the funnel's hot backtrace pass).
+
+    The rows kernel (`viterbi_rows.viterbi_batch_rows`) pays an
+    O(log Lt) Kogge-Stone scan per row because template positions sit
+    in lanes; here templates sit in lanes, the grid walks template
+    columns and the same-row GD/IM recurrences become their natural
+    sequential form — every DP update is elementwise between
+    loop-carried vregs, ~25-30x the rows kernel's cell rate.
+
+    Float semantics are the ROWS KERNEL'S EXACTLY: each of the five MM
+    candidates is formed with the same left-associated adds, the
+    max/backtrace-code chain uses the same strict-> order, the
+    GD/IM/DG/MI continuation bits compare the same post-add values,
+    and the best-cell tie rules (score desc, then i asc, then j asc)
+    match its final reduction — `test_viterbi_lanes_bt.py` asserts
+    score/endpoint/path bit-identity against it.  Parity target:
+    src/hhviterbialgorithm.cpp:45-497 (scores) + the bt byte layout of
+    ops/viterbi.py:viterbi_batch.
+
+    Si streams as FLOAT32 (not bf16): backtraced scores/paths are the
+    reported alignments, so they carry exact kernel scores.
+
+    Returns (score (B,) f32, best_i (B,) i32, best_j (B,) i32,
+    btw (nB, Lt, P4, G, BK) int32) — btw packs the bt byte of cell
+    (i, jj) for lane b = n*G*BK + g*BK + bk at
+    word [n, jj-1, (i-1)//4, g, bk], byte lane (i-1)%4 (little-end).
+    Decode with ops.viterbi.backtrace_walk_packed8_words.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .viterbi import _log2f4
+
+    Lq = qp.shape[0] - 2
+    Lt = tp.shape[1] - 2
+    B = tp.shape[0]
+    f32 = jnp.float32
+    i32 = jnp.int32
+    NEG = f32(-FLT_MAX)
+
+    G, BK = lane_groups, 128
+    TILE = G * BK
+    Bp = _round_up(B, TILE)
+    nB = Bp // TILE
+    U = unroll
+    P = _round_up(Lq, max(8, U))      # single panel: whole query
+    P4 = P // 4
+    if P * G * BK * 4 * 5 > 11_000_000:
+        raise ValueError(
+            f"query too long for the single-panel backtrace-lanes "
+            f"kernel (Lq={Lq}, G={G}); use viterbi_batch_rows")
+
+    # ---- Si (f32): the EXACT kernel's einsum expression at the exact
+    # kernel's shapes, then relaid out for the lanes grid.  Different
+    # einsum layouts can round the 20-term contraction differently
+    # (backend-dependent blocking), and this kernel's contract is
+    # bit-identity with ops.viterbi.viterbi_batch — the relayout costs
+    # ~2 extra HBM passes (~1 ms/batch), the rows-kernel alternative
+    # costs ~40 ms. ----
+    dot = jnp.einsum("ia,bja->bij", qp[1:Lq + 1].astype(f32),
+                     tp[:, 1:Lt + 1].astype(f32),
+                     preferred_element_type=f32)       # (B, Lq, Lt)
+    Si0 = _log2f4(dot) + f32(shift)
+    Si0 = jnp.pad(Si0, ((0, Bp - B), (0, P - Lq), (0, 0)))
+    Si = jnp.transpose(Si0.reshape(nB, G, BK, P, Lt),
+                       (0, 3, 4, 1, 2))                # (nB,P,Lt,G,BK)
+
+    # ---- template transition lane vectors (as the score sweep) ----
+    ttr_f = jnp.pad(ttr.astype(f32), ((0, Bp - B), (0, 0), (0, 0)),
+                    constant_values=-FLT_MAX)
+    tv = jnp.stack([
+        ttr_f[:, 0:Lt, M2M], ttr_f[:, 0:Lt, D2M], ttr_f[:, 0:Lt, I2M],
+        ttr_f[:, 0:Lt, M2D], ttr_f[:, 0:Lt, D2D],
+        ttr_f[:, 1:Lt + 1, M2I], ttr_f[:, 1:Lt + 1, I2I],
+    ], axis=1)
+    tvec = jnp.transpose(tv.reshape(nB, G, BK, 7, Lt), (0, 4, 3, 1, 2))
+
+    # query transitions + row-validity channel in SMEM
+    Lqp = _round_up(max(Lq + 2, P + 1), 8)
+    qtr_s = jnp.pad(qtr.astype(f32).T, ((0, 0), (0, Lqp - (Lq + 2))),
+                    constant_values=-FLT_MAX)          # (7, Lqp)
+    lqt = Lq if Lq_true is None else Lq_true
+    rowmask = jnp.where(
+        jnp.arange(Lqp)[None, :] <= jnp.asarray(lqt, i32),
+        f32(0.0), NEG)
+    qtr_s = jnp.concatenate([qtr_s, rowmask], axis=0)  # (8, Lqp)
+
+    STOPc, MMc, GDc, IMc, DGc, MIc = STOP_CODES = (0, 2, 3, 4, 5, 6)
+    del STOP_CODES
+
+    def kernel(si_ref, tv_ref, qtr_ref,
+               sc_ref, bi_ref, bj_ref, btw_ref,
+               mm_c, gd_c, im_c, dg_c, mi_c, best_s):
+        j = pl.program_id(1)
+        zero = jnp.zeros((G, BK), f32)
+        ninf = jnp.full((G, BK), -FLT_MAX)
+
+        @pl.when(j == 0)
+        def _():
+            # old column jj-1 = 0 boundary: MM = 0, others -inf
+            mm_c[...] = jnp.zeros((P, G, BK), f32)
+            for c in (gd_c, im_c, dg_c, mi_c):
+                c[...] = jnp.full((P, G, BK), -FLT_MAX)
+            best_s[0] = jnp.full((G, BK), -FLT_MAX)
+            best_s[1] = jnp.zeros((G, BK), f32)
+            best_s[2] = jnp.zeros((G, BK), f32)
+
+        tvv = tv_ref[0, 0]
+        tm2m1 = tvv[0]
+        td2m1 = tvv[1]
+        ti2m1 = tvv[2]
+        tm2d1 = tvv[3]
+        td2d1 = tvv[4]
+        tm2i0 = tvv[5]
+        ti2i0 = tvv[6]
+
+        jj_f = (j + 1).astype(f32) * jnp.ones((G, BK), f32)
+
+        def body(k, carry):
+            (mm_pn, dg_pn, mi_pn,            # NEW column, row i-1
+             mm_po, gd_po, im_po, dg_po, mi_po,  # OLD column, row i-1
+             best, besti, bestj) = carry
+            word = jnp.zeros((G, BK), i32)
+            for u in range(U):
+                ip = k * U + u               # panel row; cell row ip+1
+                i = ip + 1
+                qm2m1 = qtr_ref[M2M, i - 1]
+                qd2m1 = qtr_ref[D2M, i - 1]
+                qi2m1 = qtr_ref[I2M, i - 1]
+                qm2d1 = qtr_ref[M2D, i - 1]
+                qd2d1 = qtr_ref[D2D, i - 1]
+                qm2i0 = qtr_ref[M2I, i]
+                qi2i0 = qtr_ref[I2I, i]
+
+                mm_oi = mm_c[ip]
+                gd_oi = gd_c[ip]
+                im_oi = im_c[ip]
+                dg_oi = dg_c[ip]
+                mi_oi = mi_c[ip]
+
+                # MM candidates/byte code: the rows kernel's adds and
+                # strict-> chain, verbatim
+                c_mm = (mm_po + qm2m1) + tm2m1
+                best5 = jnp.maximum(f32(0.0), c_mm)
+                code = jnp.where(c_mm > f32(0.0), MMc, STOPc)
+                c_gd = (gd_po + qm2m1) + td2m1
+                code = jnp.where(c_gd > best5, GDc, code)
+                best5 = jnp.maximum(best5, c_gd)
+                c_im = (im_po + qi2m1) + tm2m1
+                code = jnp.where(c_im > best5, IMc, code)
+                best5 = jnp.maximum(best5, c_im)
+                c_dg = (dg_po + qd2m1) + tm2m1
+                code = jnp.where(c_dg > best5, DGc, code)
+                best5 = jnp.maximum(best5, c_dg)
+                c_mi = (mi_po + qm2m1) + ti2m1
+                code = jnp.where(c_mi > best5, MIc, code)
+                best5 = jnp.maximum(best5, c_mi)
+                mm_new = best5 + si_ref[0, ip, 0]
+
+                # DG/MI rows (row i-1, NEW column)
+                a_dg = mm_pn + qm2d1
+                b_dg = dg_pn + qd2d1
+                dg_new = jnp.maximum(a_dg, b_dg)
+                a_mi = (mm_pn + qm2m1) + tm2i0
+                b_mi = (mi_pn + qm2m1) + ti2i0
+                mi_new = jnp.maximum(a_mi, b_mi)
+
+                # GD/IM rows (row i, OLD column) — natural sequential
+                # form of the same-row recurrence
+                a_gd = mm_oi + tm2d1
+                b_gd = gd_oi + td2d1
+                gd_new = jnp.maximum(a_gd, b_gd)
+                a_im = (mm_oi + qm2i0) + tm2m1
+                b_im = (im_oi + qi2i0) + tm2m1
+                im_new = jnp.maximum(a_im, b_im)
+
+                byte = (code
+                        | jnp.where(a_gd > b_gd, 8, 0)
+                        | jnp.where(a_im > b_im, 16, 0)
+                        | jnp.where(a_dg > b_dg, 32, 0)
+                        | jnp.where(a_mi > b_mi, 64, 0)).astype(i32)
+                word = word | (byte << (8 * (u % 4)))
+                if u % 4 == 3:
+                    btw_ref[0, 0, k * (U // 4) + u // 4] = word
+                    word = jnp.zeros((G, BK), i32)
+
+                # best tracker: score desc, i asc, j asc (strict > or
+                # equal-with-smaller-i; j ascends with the grid, so an
+                # equal (score, i) keeps the earlier column)
+                cand = mm_new + qtr_ref[7, i]
+                i_f = f32(1.0) * i
+                better = (cand > best) | ((cand == best) & (i_f < besti))
+                best = jnp.where(better, cand, best)
+                besti = jnp.where(better, i_f, besti)
+                bestj = jnp.where(better, jj_f, bestj)
+
+                mm_c[ip] = mm_new
+                gd_c[ip] = gd_new
+                im_c[ip] = im_new
+                dg_c[ip] = dg_new
+                mi_c[ip] = mi_new
+
+                mm_pn, dg_pn, mi_pn = mm_new, dg_new, mi_new
+                mm_po, gd_po, im_po = mm_oi, gd_oi, im_oi
+                dg_po, mi_po = dg_oi, mi_oi
+            return (mm_pn, dg_pn, mi_pn,
+                    mm_po, gd_po, im_po, dg_po, mi_po,
+                    best, besti, bestj)
+
+        init = (zero, ninf, ninf,            # row 0, NEW column
+                zero, ninf, ninf, ninf, ninf,   # row 0, OLD column
+                best_s[0], best_s[1], best_s[2])
+        res = jax.lax.fori_loop(0, P // U, body, init)
+        best_s[0] = res[-3]
+        best_s[1] = res[-2]
+        best_s[2] = res[-1]
+
+        @pl.when(j == Lt - 1)
+        def _():
+            sc_ref[0] = best_s[0]
+            bi_ref[0] = best_s[1]
+            bj_ref[0] = best_s[2]
+
+    grid = (nB, Lt)
+    out_shapes = (
+        jax.ShapeDtypeStruct((nB, G, BK), f32),
+        jax.ShapeDtypeStruct((nB, G, BK), f32),
+        jax.ShapeDtypeStruct((nB, G, BK), f32),
+        jax.ShapeDtypeStruct((nB, Lt, P4, G, BK), i32),
+    )
+    out_specs = (
+        pl.BlockSpec((1, G, BK), lambda b, j: (b, 0, 0)),
+        pl.BlockSpec((1, G, BK), lambda b, j: (b, 0, 0)),
+        pl.BlockSpec((1, G, BK), lambda b, j: (b, 0, 0)),
+        pl.BlockSpec((1, 1, P4, G, BK), lambda b, j: (b, j, 0, 0, 0)),
+    )
+    score, bi, bj, btw = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, P, 1, G, BK), lambda b, j: (b, 0, j, 0, 0)),
+            pl.BlockSpec((1, 1, 7, G, BK), lambda b, j: (b, j, 0, 0, 0)),
+            pl.BlockSpec((8, Lqp), lambda b, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((P, G, BK), f32),
+            pltpu.VMEM((P, G, BK), f32),
+            pltpu.VMEM((P, G, BK), f32),
+            pltpu.VMEM((P, G, BK), f32),
+            pltpu.VMEM((P, G, BK), f32),
+            pltpu.VMEM((3, G, BK), f32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(Si, tvec, qtr_s)
+
+    score = score.reshape(Bp)[:B]
+    bi = bi.reshape(Bp)[:B]
+    bj = bj.reshape(Bp)[:B]
+    empty = score <= NEG
+    score = jnp.where(empty, NEG, score)
+    best_i = jnp.where(empty, 0, bi.astype(i32))
+    best_j = jnp.where(empty, 0, bj.astype(i32))
+    return score, best_i, best_j, btw

@@ -402,6 +402,28 @@ def _gathered_rows_kernel(qp, qtr, tp_all, ttr_all, tL_all, idx, pnul,
 
 
 @functools.partial(
+    __import__("jax").jit, static_argnames=("kmax", "B", "interpret"))
+def _gathered_bt_lanes_kernel(qp, qtr, tp_all, ttr_all, tL_all, idx,
+                              pnul, shift, Lq_true, kmax, B,
+                              interpret=False):
+    """On-device gather + null-model division + TEMPLATE-LANES
+    backtrace kernel + words-layout walk: the no-SS/no-exclusion hot
+    path of the funnel's backtrace pass.  ~25% faster per batch than
+    the rows-kernel pipeline at identical paths (bit-exact vs the
+    anti-diagonal parity kernel, test_viterbi_lanes_bt.py); payload
+    format shared with _backtrace_walk_packed8."""
+    from ..ops.viterbi_lanes import viterbi_backtrace_lanes
+
+    tp = tp_all[idx] / pnul[:, None, :]
+    score, i2, j2, btw = viterbi_backtrace_lanes(
+        qp, qtr, tp, ttr_all[idx], tL_all[idx], shift,
+        Lq_true=Lq_true, interpret=interpret)
+    packed = V.backtrace_walk_packed8_words(btw, i2, j2, score,
+                                            kmax=kmax, B=B)
+    return packed
+
+
+@functools.partial(
     __import__("jax").jit, static_argnames=("interpret",))
 def _gathered_lanes_kernel(qp, qtr, tp_all, ttr_all, tL_all, idx, pnul,
                            shift, interpret=False, ss_lut=None,
@@ -637,6 +659,24 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                                        S73, S37, S33)
                     ss_batch[b, :, : t.L + 1] = m
 
+            if (bucket_lt is not None and not any_co
+                    and ss_batch is None and bool(par.loc)
+                    and Lq <= 512
+                    and not _os.environ.get("HHSUITE_TPU_NO_BT_LANES")):
+                # hot path: template-lanes backtrace kernel + on-device
+                # words-layout walk in one fused dispatch (bit-exact
+                # paths vs the parity kernel, test_viterbi_lanes_bt.py)
+                from ..profiling import annotate
+
+                with annotate("viterbi_backtrace_pass"):
+                    packed_d = _gathered_bt_lanes_kernel(
+                        qp_use, qtr_use, tp_all, ttr_all, tL_all, gidx,
+                        _pnul_lanes(idxs, Bp), np.float32(par.shift),
+                        np.int32(q.L), Lq + Lt_max + 1, Bp)
+                start_host_copy(packed_d)
+                pending.append((idxs, batch, ss_hmm_mode,
+                                (packed_d, Lq + Lt_max + 1)))
+                continue
             if bucket_lt is not None:
                 from ..profiling import annotate
 
