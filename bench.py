@@ -212,6 +212,54 @@ def bench_lanes_floor():
     })
 
 
+def bench_bt_pipeline():
+    """Backtrace-pass device pipeline (template-lanes backtrace kernel
+    + words-layout walk) at the funnel's operating shape.  The walk is
+    bound by the platform's per-index gather cost (~14 ns/index,
+    layout-independent), so this metric tracks the full pipeline, not
+    the DP kernel alone."""
+    import jax
+    import jax.numpy as jnp
+
+    if not any(d.platform != "cpu" for d in jax.devices()):
+        return
+    from __graft_entry__ import _example_pair
+    from hhsuite_tpu.ops import viterbi as V
+    from hhsuite_tpu.ops.viterbi_lanes import viterbi_backtrace_lanes
+
+    Lq, Lt, B = 288, 320, 1024
+    kmax = Lq + Lt + 1
+    qp, qtr, tp, ttr, _co, tL = _example_pair(Lq=Lq, Lt=Lt, B=B, seed=1)
+    d = [jax.device_put(np.asarray(a, np.float32))
+         for a in (qp, qtr, tp, ttr)]
+    tLd = jax.device_put(tL)
+
+    def fn_many(n):
+        @jax.jit
+        def f(a=d, tL=tLd):
+            acc = jnp.int32(0)
+            for r in range(n):
+                s, i2, j2, btw = viterbi_backtrace_lanes(
+                    a[0], a[1], a[2], a[3], tL,
+                    np.float32(-0.03 - 1e-6 * r))
+                p = V.backtrace_walk_packed8_words(btw, i2, j2, s,
+                                                   kmax=kmax, B=B)
+                acc = acc + p.astype(jnp.int32).sum()
+            return acc
+        return f
+
+    t_lo = _chained(fn_many, 1)
+    t_hi = _chained(fn_many, 3)
+    t_pipe = max((t_hi - t_lo) / 2, 1e-9)
+    gcups = B * Lq * Lt / t_pipe / 1e9
+    emit({
+        "metric": "viterbi_backtrace_pipeline_gcups",
+        "value": round(gcups, 2),
+        "unit": "GCUPS (kernel+walk, 1024x288x320)",
+        "vs_baseline": round(gcups / BASELINE_GCUPS, 4),
+    })
+
+
 def bench_prefilter():
     """Stage-1 ungapped-SW prefilter kernel throughput (GCUPS).
 
@@ -429,6 +477,7 @@ def bench_pairs():
 if __name__ == "__main__":
     main()
     bench_lanes_floor()
+    bench_bt_pipeline()
     bench_prefilter()
     bench_tpu_golden()
     bench_scaling()
