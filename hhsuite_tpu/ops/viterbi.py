@@ -444,9 +444,7 @@ def backtrace_walk_packed8_words(btw, i2, j2, score, kmax, B):
         s_n = jnp.where(valid, nxt, STOP)
         return (i_n, j_n, s_n), rec
 
-    init = (i2.astype(i32), j2.astype(i32), jnp.full((B,), MM, i32))
-    _, (st, valid) = jax.lax.scan(step, init, None, length=kmax)
-    n = valid.astype(i32).sum(axis=0)
+    st, n = _walk_chunked(step, i2, j2, kmax, B)
 
     def b8(x):
         return jax.lax.bitcast_convert_type(x, jnp.int8)
@@ -455,6 +453,41 @@ def backtrace_walk_packed8_words(btw, i2, j2, score, kmax, B):
         [b8(score.astype(jnp.float32)), b8(i2.astype(jnp.int16)),
          b8(j2.astype(jnp.int16)), b8(n)], axis=1)
     return jnp.concatenate([header, st.T], axis=1)
+
+
+def _walk_chunked(step, i2, j2, kmax: int, B: int, chunk: int = 64):
+    """Drive a walk ``step`` function for up to ``kmax`` steps with
+    early exit: a while_loop over 64-step scan chunks that stops once
+    every lane has reached STOP.  Device cost is per-INDEX (the gather
+    floor), so skipping the dead tail after the longest real path cuts
+    walk time proportionally — payloads are identical (unwritten slots
+    stay zero, exactly what the full-length scan records for stopped
+    lanes).  Returns (st (kmax, B) int8, n (B,) int32)."""
+    import jax
+    import jax.numpy as jnp
+
+    i32 = jnp.int32
+    nchunks = -(-kmax // chunk)
+    kpad = nchunks * chunk
+
+    def chunk_body(c):
+        k, i, j, state, st, n = c
+        (i, j, state), (rec, valid) = jax.lax.scan(
+            step, (i, j, state), None, length=chunk)
+        st = jax.lax.dynamic_update_slice(st, rec, (k * chunk,
+                                                    jnp.int32(0)))
+        n = n + valid.astype(i32).sum(axis=0)
+        return (k + 1, i, j, state, st, n)
+
+    def cond(c):
+        k, _i, _j, state, _st, _n = c
+        return (k < nchunks) & jnp.any(state != STOP)
+
+    st0 = jnp.zeros((kpad, B), jnp.int8)
+    init = (jnp.int32(0), i2.astype(i32), j2.astype(i32),
+            jnp.full((B,), MM, i32), st0, jnp.zeros((B,), i32))
+    _k, _i, _j, _s, st, n = jax.lax.while_loop(cond, chunk_body, init)
+    return st[:kmax], n
 
 
 @functools.partial(
@@ -508,9 +541,7 @@ def _backtrace_walk_packed8(bt, i2, j2, score, kmax):
         s_n = jnp.where(valid, nxt, STOP)
         return (i_n, j_n, s_n), rec
 
-    init = (i2.astype(i32), j2.astype(i32), jnp.full((B,), MM, i32))
-    _, (st, valid) = jax.lax.scan(step, init, None, length=kmax)
-    n = valid.astype(i32).sum(axis=0)
+    st, n = _walk_chunked(step, i2, j2, kmax, B)
 
     def b8(x):
         return jax.lax.bitcast_convert_type(x, jnp.int8)

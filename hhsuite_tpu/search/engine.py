@@ -296,11 +296,29 @@ def get_resident_pack(db, names: List[str], par: Parameters,
     if pack is None:
         pack = packs[key] = ResidentTemplatePack()
     items = []
+    budget = float(os.environ.get("HHSUITE_TPU_PACK_HBM_GB", "8"))
+    new_bytes = 0
     for name in names:
         if name not in pack.row_of:
             t, _fmt = db._prepared_cache_entry(name, par, mats,
                                                use_global_weights)
+            new_bytes += (t.L + 2) * 27 * 4
             items.append((name, t))
+    # HBM budget: on very large databases (hundreds of thousands of
+    # templates) a fully-resident pack would exceed device memory;
+    # past the budget the funnel falls back to per-batch host packing
+    # (slower, unbounded DB size).  8 GB default covers ~150k
+    # PDB70-length templates on a 16 GB v5e chip.
+    est = getattr(pack, "approx_bytes", 0) + new_bytes
+    if est > budget * 1e9:
+        from .. import log as hhlog
+        if not db.__dict__.get("_pack_budget_warned"):
+            db.__dict__["_pack_budget_warned"] = True
+            hhlog.warning(
+                f"template pack would need ~{est / 1e9:.1f} GB device "
+                f"memory (> HHSUITE_TPU_PACK_HBM_GB={budget:g}); "
+                f"using per-batch template upload instead")
+        return None
     if items:
         from ..profiling import annotate
 

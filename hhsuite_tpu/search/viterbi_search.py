@@ -326,6 +326,7 @@ class ResidentTemplatePack:
         self.bucket_size = bucket
         self.row_of: Dict[str, Tuple[int, int]] = {}   # name -> (b,row)
         self.buckets: Dict[int, dict] = {}
+        self.approx_bytes = 0      # device-resident footprint estimate
 
     def _bucket_for(self, L: int) -> int:
         b = self.bucket_size
@@ -357,6 +358,8 @@ class ResidentTemplatePack:
                     tp[:have] = bk["tp_h"][:have]
                     ttr[:have] = bk["ttr_h"][:have]
                     t_L[:have] = bk["t_L_h"][:have]
+                self.approx_bytes += ((new_cap - cap)
+                                      * (Lt_pad + 2) * 27 * 4)
                 bk = self.buckets[Lt_pad] = {
                     "tp_h": tp, "ttr_h": ttr, "t_L_h": t_L,
                     "used": have, "cap": new_cap}
