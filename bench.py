@@ -442,10 +442,14 @@ def bench_tpu_golden():
     from hhsuite_tpu.tools.tpu_check import run_check
 
     verdict = run_check()
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "TPU_GOLDEN.json")
-    with open(path, "w") as f:
-        json.dump(verdict, f, indent=1)
+    if verdict.get("platform") != "cpu":
+        # only a real-accelerator run may overwrite the committed
+        # hardware-correctness record; a CPU fallback would silently
+        # replace it with a verdict that validates nothing on-chip
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "TPU_GOLDEN.json")
+        with open(path, "w") as f:
+            json.dump(verdict, f, indent=1)
     emit({
         "metric": "tpu_golden_pass",
         "value": 1.0 if verdict.get("pass") else 0.0,

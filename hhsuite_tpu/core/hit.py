@@ -390,10 +390,15 @@ class HitList:
         logp_v = log_pvalue(scores, lamda_v, mu_v)
         pval_v = pvalue(scores, lamda_v, mu_v)
         # CalcEvalScoreProbab + CalcProbab vectorized over the list —
-        # identical f64 element-wise math to the scalar methods
+        # identical f64 element-wise math to the scalar methods.
+        # Eval uses libm exp (math.exp) like the scalar method and the
+        # reference's C exp(): numpy's vectorized exp rounds ~4% of
+        # values one ulp differently, which can flip a hit sitting
+        # exactly on a display/merge threshold
         logN = math.log(self.N_searched)
         logeval_v = logp_v + logN
-        eval_v = np.exp(logeval_v)
+        eval_v = np.fromiter((math.exp(v) for v in logeval_v),
+                             np.float64, count=n)
         with np.errstate(divide="ignore", invalid="ignore"):
             base = np.where(logp_v < -10.0, logp_v,
                             np.log(-np.log(1.0 - pval_v)))
@@ -440,7 +445,9 @@ class HitList:
         logp = np.array([h.logPval for h in hits], np.float64)
         alpha = alphaa + alphab * (neff - 1) * (1 - alphac * (q.Neff_HMM - 1))
         logeval = logp + log_dbsize + alpha * log_Pcut
-        ev = np.exp(logeval)
+        # libm exp, matching the scalar method / reference C exp()
+        ev = np.fromiter((math.exp(v) for v in logeval),
+                         np.float64, count=len(hits))
         for k, hit in enumerate(hits):
             hit.Eval = float(ev[k])
             hit.logEval = float(logeval[k])

@@ -22,7 +22,14 @@ the local devices, so the runtime degrades gracefully without it.
 Wire protocol: length-prefixed pickles over one TCP connection per
 worker.  Messages:
   worker -> master: ("next", rank) | ("result", name, {kind: bytes})
+                    | ("error", name, message)
   master -> worker: ("work", [entry_indices]) | ("done",)
+
+("error", ...) contains a poison entry: the worker's per-entry
+try/except reports the failure instead of dying, the master marks the
+entry done-with-no-output (the writer warns), and the entry is NOT
+re-dealt — a deterministic crash would otherwise kill every worker in
+turn as the death-recovery path re-deals it across the fleet.
 """
 
 from __future__ import annotations
@@ -59,7 +66,7 @@ def _recv(conn: socket.socket):
 
 def _master(addr: str, size: int, n_entries: int, chunk: int,
             results: Dict[str, Dict[str, bytes]],
-            order: Dict[str, int], grace: float = 30.0) -> None:
+            order: Dict[str, int], grace: float = 150.0) -> None:
     """MPQ_Master with failure recovery: deal index ranges on request,
     collect per-entry results until every entry is done.  Unlike the
     reference's MPQ (whose deal loop loses a crashed rank's range,
@@ -125,6 +132,16 @@ def _master(addr: str, size: int, n_entries: int, chunk: int,
                     name, outputs = msg[1], msg[2]
                     with cv:
                         results[name] = outputs
+                        idx = order.get(name)
+                        if idx is not None:
+                            mine.discard(idx)
+                            done.add(idx)
+                        cv.notify_all()
+                elif msg[0] == "error":
+                    # poison entry: done with NO output (writer warns);
+                    # never re-dealt
+                    name = msg[1]
+                    with cv:
                         idx = order.get(name)
                         if idx is not None:
                             mine.discard(idx)
@@ -252,8 +269,15 @@ def run_multihost(in_base: str, db_base: str, out_base: str, rank: int,
                 break
             for idx in msg[1]:
                 name = names[idx]
-                text = src.read_text(name)
-                out = _run_one((name, text, db_base, par_dict, mode))
+                try:
+                    text = src.read_text(name)
+                    out = _run_one((name, text, db_base, par_dict,
+                                    mode))
+                except Exception as e:   # poison entry: report, go on
+                    log(f"rank {rank}: entry {name} failed: "
+                        f"{type(e).__name__}: {e}")
+                    _send(conn, ("error", name, f"{e}"))
+                    continue
                 if out is not None:
                     _send(conn, ("result", out[0], out[1]))
     finally:

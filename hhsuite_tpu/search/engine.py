@@ -297,20 +297,22 @@ def get_resident_pack(db, names: List[str], par: Parameters,
         pack = packs[key] = ResidentTemplatePack()
     items = []
     budget = float(os.environ.get("HHSUITE_TPU_PACK_HBM_GB", "8"))
-    new_bytes = 0
     for name in names:
         if name not in pack.row_of:
             t, _fmt = db._prepared_cache_entry(name, par, mats,
                                                use_global_weights)
-            new_bytes += (t.L + 2) * 27 * 4
             items.append((name, t))
     # HBM budget: on very large databases (hundreds of thousands of
     # templates) a fully-resident pack would exceed device memory;
     # past the budget the funnel falls back to per-batch host packing
-    # (slower, unbounded DB size).  8 GB default covers ~150k
-    # PDB70-length templates on a 16 GB v5e chip.
-    est = getattr(pack, "approx_bytes", 0) + new_bytes
+    # (slower, unbounded DB size).  The estimate mirrors ensure()'s
+    # real allocation (pow2 capacity x length buckets), and the
+    # PACK_DISABLED sentinel stops viterbi_search from building its
+    # local fallback pack with the same templates.
+    est = pack.projected_bytes(items)
     if est > budget * 1e9:
+        from .viterbi_search import PACK_DISABLED
+
         from .. import log as hhlog
         if not db.__dict__.get("_pack_budget_warned"):
             db.__dict__["_pack_budget_warned"] = True
@@ -318,7 +320,7 @@ def get_resident_pack(db, names: List[str], par: Parameters,
                 f"template pack would need ~{est / 1e9:.1f} GB device "
                 f"memory (> HHSUITE_TPU_PACK_HBM_GB={budget:g}); "
                 f"using per-batch template upload instead")
-        return None
+        return PACK_DISABLED
     if items:
         from ..profiling import annotate
 

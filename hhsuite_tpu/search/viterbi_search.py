@@ -87,7 +87,12 @@ def _template_p(t: HMM) -> np.ndarray:
     on device or inside the native decode; any host consumer goes
     through here, which materializes the division once and promotes
     the handout to the divided state (bit-identical to dividing
-    eagerly)."""
+    eagerly).
+
+    NOT thread-safe on a SHARED handout (two racing callers could
+    double-divide).  Handouts are per-call shell copies and each query
+    runs its search single-threaded, so no current caller shares one;
+    keep it that way or guard the promotion."""
     if getattr(t, "p_divided", True):
         return t.p
     t.p = (t.p.astype(np.float32, copy=False)
@@ -297,6 +302,15 @@ def _dispatch_kernel(qp, qtr, tp, ttr, cell_off, t_L, shift, egq, egt,
                            egq, egt, ss_score=ss_batch, local=local)
 
 
+class _PackDisabled:
+    """Sentinel: the resident pack was declined (HBM budget) — callers
+    must not build the local fallback pack either, or the budget check
+    is defeated (the fallback would device_put the same templates)."""
+
+
+PACK_DISABLED = _PackDisabled()
+
+
 class ResidentTemplatePack:
     """Device-resident RAW template arrays, bucketed by padded length,
     incrementally grown and cached per database.
@@ -374,6 +388,27 @@ class ResidentTemplatePack:
             bk["tp"] = jax.device_put(bk["tp_h"])
             bk["ttr"] = jax.device_put(bk["ttr_h"])
             bk["t_L"] = jax.device_put(bk["t_L_h"])
+
+    def projected_bytes(self, items: List[Tuple[str, HMM]]) -> int:
+        """Device footprint AFTER ensure(items) would run, mirroring
+        its bucket/pow2-capacity allocation math — the honest input to
+        an HBM budget check (tight per-template sums underestimate by
+        the capacity-doubling x length-bucket padding factor)."""
+        new_per_bucket: Dict[int, int] = {}
+        for name, t in items:
+            if name not in self.row_of:
+                b = self._bucket_for(t.L)
+                new_per_bucket[b] = new_per_bucket.get(b, 0) + 1
+        total = self.approx_bytes
+        for Lt_pad, n_new in new_per_bucket.items():
+            bk = self.buckets.get(Lt_pad)
+            have = bk["used"] if bk else 0
+            cap = bk["cap"] if bk else 0
+            need = have + n_new
+            if need + 1 > cap:
+                new_cap = max(16, 1 << (need + 1).bit_length())
+                total += (new_cap - cap) * (Lt_pad + 2) * 27 * 4
+        return total
 
     def gather_args(self, Lt_pad: int, names: List[str], Bp: int):
         """(tp_all, ttr_all, tL_all, idx) for a fused gather+kernel
@@ -498,6 +533,7 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
     pack_pnul: Optional[np.ndarray] = None
     if (_on_tpu() and get_mesh() is None and par.egq == 0.0
             and par.egt == 0.0
+            and resident_pack is not PACK_DISABLED
             and not _os.environ.get("HHSUITE_TPU_NO_RESIDENT_PACK")):
         from ..profiling import annotate
 
@@ -769,6 +805,12 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                     hit.score = sc
                     hit.score_ss = 0.0
                     hit.score_aass = -sc
+                    # VIEWS into the batch decode arrays, not copies:
+                    # a batch's hits collectively pin its ~10 MB of
+                    # (Bp, K1) arrays until the query's hits are
+                    # released — a deliberate trade (per-hit copies
+                    # were ~40% of wall here); nothing writes through
+                    # these (realign reassigns fresh arrays)
                     hit.S = dec.S2[b, : nb + 1]
                     hit.S_ss = dec.zss[: nb + 1]
                     hit.i = dec.ii2[b, : nb + 1]

@@ -138,6 +138,50 @@ def test_multihost_master_redeals_work_of_dead_worker():
         assert set(results) == set(names)
 
 
+def test_multihost_poison_entry_not_redealt():
+    """An entry the worker REPORTS as failed (per-entry try/except in
+    the worker loop) is marked done-with-no-output and never re-dealt —
+    a deterministic crash must not cascade through the fleet via the
+    death-recovery path."""
+    from hhsuite_tpu.parallel import multihost as mh
+
+    names = [f"q{k}" for k in range(3)]
+    port = _free_port()
+    results, order = {}, {n: i for i, n in enumerate(names)}
+    master = threading.Thread(
+        target=mh._master, args=(f"127.0.0.1:{port}", 2, len(names), 1,
+                                 results, order), daemon=True)
+    master.start()
+    import time
+
+    conn = None
+    for _ in range(100):
+        try:
+            conn = socket.create_connection(("127.0.0.1", port),
+                                            timeout=30)
+            break
+        except OSError:
+            time.sleep(0.05)
+    seen = []
+    while True:
+        mh._send(conn, ("next", 1))
+        msg = mh._recv(conn)
+        if msg[0] == "done":
+            break
+        for idx in msg[1]:
+            seen.append(idx)
+            if idx == 1:       # poison entry: report failure
+                mh._send(conn, ("error", names[idx], "boom"))
+            else:
+                mh._send(conn, ("result", names[idx],
+                                {"hhr": b"ok"}))
+    conn.close()
+    master.join(timeout=60)
+    assert not master.is_alive()
+    assert seen == [0, 1, 2], f"poison entry re-dealt: {seen}"
+    assert set(results) == {"q0", "q2"}
+
+
 def test_multihost_master_survives_rank_that_never_connects():
     """A rank that crashes BEFORE connecting (or never starts) must not
     hang the group: the master's accept loop is dynamic, so a 3-rank

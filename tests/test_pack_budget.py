@@ -54,7 +54,8 @@ def test_budget_falls_back_to_per_batch(monkeypatch, tmp_path):
     monkeypatch.setattr("hhsuite_tpu.parallel.mesh.get_mesh",
                         lambda: None)
     monkeypatch.setenv("HHSUITE_TPU_PACK_HBM_GB", "0.000001")
-    assert eng.get_resident_pack(db, names, par, mats) is None
+    from hhsuite_tpu.search.viterbi_search import PACK_DISABLED
+    assert eng.get_resident_pack(db, names, par, mats) is PACK_DISABLED
     assert db.__dict__.get("_pack_budget_warned")
 
     monkeypatch.setenv("HHSUITE_TPU_PACK_HBM_GB", "8")
