@@ -440,6 +440,26 @@ def _gathered_rows_kernel(qp, qtr, tp_all, ttr_all, tL_all, idx, pnul,
 
 
 @functools.partial(
+    __import__("jax").jit, static_argnames=("kmax", "local", "tb"))
+def _gathered_rows_excl_kernel(qp, qtr, tp_all, ttr_all, tL_all, idx,
+                               pnul, lo_c, hi_c, lo_r, hi_r, shift,
+                               Lq_true, kmax, local=True, tb=32):
+    """Altali-pass fused dispatch: build the exclusion cell-off mask
+    from band intervals, gather + divide the resident-pack rows, run
+    the backtrace rows kernel and the on-device packed walk — ONE jit
+    call per batch instead of ~6 eager mask ops + 2 jit dispatches
+    (each tunnel dispatch costs milliseconds of host/link overhead)."""
+    from ..ops.viterbi_rows import viterbi_batch_rows
+
+    cell_off = V.exclusion_mask_device(lo_c, hi_c, lo_r, hi_r)
+    tp = tp_all[idx] / pnul[:, None, :]
+    score, i2, j2, bt = viterbi_batch_rows(
+        qp, qtr, tp, ttr_all[idx], cell_off, tL_all[idx], shift,
+        local=local, tb=tb, Lq_true=Lq_true)
+    return V._backtrace_walk_packed8(bt, i2, j2, score, kmax=kmax)
+
+
+@functools.partial(
     __import__("jax").jit, static_argnames=("kmax", "B", "interpret"))
 def _gathered_bt_lanes_kernel(qp, qtr, tp_all, ttr_all, tL_all, idx,
                               pnul, shift, Lq_true, kmax, B,
@@ -647,6 +667,7 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
             has_str = bool(par.exclstr or par.template_exclstr)
             any_co = has_excl or has_str
             cell_off = None
+            excl_iv = None
             if has_excl and _on_tpu() and not has_str:
                 # build the altali exclusion mask ON DEVICE from band
                 # intervals: ships O(B*P*(Lq+Lt)) int32 instead of the
@@ -670,8 +691,11 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                         hi_c[b, p] = hc
                         lo_r[b, p] = lr
                         hi_r[b, p] = hr
-                cell_off = V.exclusion_mask_device(lo_c, hi_c,
-                                                   lo_r, hi_r)
+                excl_iv = (lo_c, hi_c, lo_r, hi_r)
+                if not (bucket_lt is not None and not ss_in_dp
+                        and bool(par.loc)):
+                    # generic path still needs the materialized mask
+                    cell_off = V.exclusion_mask_device(*excl_iv)
             elif any_co:
                 cell_off = np.zeros((Bp, Lq + 1, Lt_max + 1),
                                     dtype=bool)
@@ -712,6 +736,22 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                         qp_use, qtr_use, tp_all, ttr_all, tL_all, gidx,
                         _pnul_lanes(idxs, Bp), np.float32(par.shift),
                         np.int32(q.L), Lq + Lt_max + 1, Bp)
+                start_host_copy(packed_d)
+                pending.append((idxs, batch, ss_hmm_mode,
+                                (packed_d, Lq + Lt_max + 1)))
+                continue
+            if (bucket_lt is not None and excl_iv is not None
+                    and ss_batch is None and bool(par.loc)):
+                # altali pass fused dispatch: mask build + rows kernel
+                # + packed walk in one jit call
+                from ..profiling import annotate
+
+                with annotate("viterbi_backtrace_pass"):
+                    packed_d = _gathered_rows_excl_kernel(
+                        qp_use, qtr_use, tp_all, ttr_all, tL_all, gidx,
+                        _pnul_lanes(idxs, Bp), *excl_iv,
+                        np.float32(par.shift), np.int32(q.L),
+                        Lq + Lt_max + 1, local=True, tb=32)
                 start_host_copy(packed_d)
                 pending.append((idxs, batch, ss_hmm_mode,
                                 (packed_d, Lq + Lt_max + 1)))
