@@ -211,3 +211,74 @@ def test_hhm_roundtrip_random_msa(seed):
     strip = lambda t: [ln for ln in t.splitlines()
                        if not ln.startswith(("DATE", "FILT"))]
     assert strip(hhm2) == strip(hhm)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", range(4))
+def test_full_pipeline_fuzz(seed, tmp_path):
+    """End-to-end property fuzz (the full-regression-under-sanitizer
+    analog, SURVEY §5): random small database + random query through
+    run_hhsearch AND a prefiltered run_hhblits round; no crash, and the
+    hitlist obeys its invariants — ascending (score_sort, file) order,
+    in-bounds alignment coordinates, step arrays consistent with
+    nsteps, renderers produce parseable output."""
+    from hhsuite_tpu.constants import Parameters
+    from hhsuite_tpu.cs.context_lib import cstranslate_a3m
+    from hhsuite_tpu.io.ffindex import FFindexWriter
+    from hhsuite_tpu.io.results import print_hit_list, print_m8
+    from hhsuite_tpu.search.engine import HHDatabase, run_hhsearch
+    from hhsuite_tpu.search.hhblits import run_hhblits
+
+    rng = np.random.RandomState(7000 + seed)
+    entries = []
+    for k in range(rng.randint(4, 9)):
+        text = _random_a3m(rng, nseq=rng.randint(2, 6),
+                           ncols=rng.randint(12, 50))
+        entries.append((f"t{k:02d}.a3m", text))
+    with FFindexWriter(f"{tmp_path}/db_a3m.ffdata",
+                       f"{tmp_path}/db_a3m.ffindex") as w:
+        for name, text in entries:
+            w.add(name, text.encode())
+    with FFindexWriter(f"{tmp_path}/db_cs219.ffdata",
+                       f"{tmp_path}/db_cs219.ffindex") as w:
+        for name, text in entries:
+            w.add(name, cstranslate_a3m(text))
+    query = _random_a3m(rng, nseq=rng.randint(2, 5),
+                        ncols=rng.randint(15, 45))
+    db = HHDatabase(f"{tmp_path}/db")
+
+    def check(q, hitlist):
+        prev = None
+        for h in hitlist:
+            assert 0.0 <= h.Probab <= 100.0
+            assert h.Eval >= 0.0
+            key = (h.score_sort, h.file)
+            assert prev is None or prev <= key, "hitlist out of order"
+            prev = key
+            if not getattr(h, "light", False) and h.nsteps:
+                assert len(h.i) == h.nsteps + 1
+                assert len(h.j) == h.nsteps + 1
+                assert 1 <= h.i[1:].min() and h.i[1:].max() <= q.L
+                assert 1 <= h.j[1:].min() and h.j[1:].max() <= h.L
+        m8 = print_m8(q, hitlist, nhits_min_b=10, p=0, E=1e6)
+        for ln in m8.splitlines():
+            assert len(ln.split("\t")) == 12
+        hhr = print_hit_list(q, hitlist, z=1, Z=500, p=0, E=1e6,
+                             datestr="X")
+        assert hhr.startswith("Query")
+
+    par = Parameters()
+    par.nocontxt = True
+    par.prefilter = False
+    q, hitlist = run_hhsearch(par, query, db, "query.a3m")
+    check(q, hitlist)
+
+    par2 = Parameters.hhblits_defaults()
+    par2.nocontxt = True
+    par2.num_rounds = 1
+    # permissive prefilter so random sequences reach the Viterbi stage
+    par2.prefilter_evalue_thresh = 1e6
+    par2.prefilter_evalue_coarse_thresh = 1e8
+    q2, hitlist2, qali2 = run_hhblits(par2, query, db, "query.a3m")
+    check(q2, hitlist2)
+    assert qali2.N_in >= 1
