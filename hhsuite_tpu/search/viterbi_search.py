@@ -736,7 +736,6 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                         qp_use, qtr_use, tp_all, ttr_all, tL_all, gidx,
                         _pnul_lanes(idxs, Bp), np.float32(par.shift),
                         np.int32(q.L), Lq + Lt_max + 1, Bp)
-                start_host_copy(packed_d)
                 pending.append((idxs, batch, ss_hmm_mode,
                                 (packed_d, Lq + Lt_max + 1)))
                 continue
@@ -752,7 +751,6 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                         _pnul_lanes(idxs, Bp), *excl_iv,
                         np.float32(par.shift), np.int32(q.L),
                         Lq + Lt_max + 1, local=True, tb=32)
-                start_host_copy(packed_d)
                 pending.append((idxs, batch, ss_hmm_mode,
                                 (packed_d, Lq + Lt_max + 1)))
                 continue
@@ -782,7 +780,6 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                 # batch, fetched in phase 2
                 packed_d = V._backtrace_walk_packed8(
                     bt, i2, j2, score, kmax=Lq + Lt_max + 1)
-                start_host_copy(packed_d)
                 pending.append((idxs, batch, ss_hmm_mode,
                                 (packed_d, Lq + Lt_max + 1)))
             else:
@@ -791,12 +788,49 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                                  np.asarray(j2), np.asarray(bt))))
 
         stage_add("host_vit_dispatch", _time.perf_counter() - _t_p1)
+        # ---- payload coalescing: the tunneled link charges a
+        # round-trip per device->host fetch (25-130 ms observed
+        # depending on link weather), so concatenate every batch's
+        # packed payload on DEVICE (columns padded to the junk's widest
+        # kmax — decode reads only the first n bytes per lane) and pay
+        # ONE fetch per junk instead of one per batch ----
+        big = None
+        big_np = None
+        spans: Dict[int, Tuple[int, int, int]] = {}
+        dev_entries = [(k, p[3][0], p[3][1]) for k, p in
+                       enumerate(pending) if len(p[3]) == 2]
+        if len(dev_entries) > 1:
+            import jax.numpy as jnp
+
+            Wmax = max(12 + km for (_k, _pd, km) in dev_entries)
+            parts, r0 = [], 0
+            for k, pd, km in dev_entries:
+                W = 12 + km
+                parts.append(pd if W == Wmax
+                             else jnp.pad(pd, ((0, 0), (0, Wmax - W))))
+                spans[k] = (r0, pd.shape[0], W)
+                r0 += pd.shape[0]
+            big = jnp.concatenate(parts, axis=0)
+            start_host_copy(big)
+        elif dev_entries:
+            start_host_copy(dev_entries[0][1])
+
+        def _fetch_payload(entry_k, payload):
+            nonlocal big_np
+            if entry_k in spans:
+                if big_np is None:
+                    big_np = np.asarray(big)
+                r0, nrows, W = spans[entry_k]
+                return np.ascontiguousarray(big_np[r0: r0 + nrows, :W])
+            return np.ascontiguousarray(np.asarray(payload[0]))
+
         from ..native import load as _load_native
         from ..profiling import annotate
 
         nat = _load_native()
         q_p32 = np.ascontiguousarray(q.p, dtype=np.float32)
-        for idxs, batch, ss_hmm_mode, payload in pending:
+        for entry_k, (idxs, batch, ss_hmm_mode, payload) \
+                in enumerate(pending):
             # ---- native fast path: fetch payload, then decode + walk +
             # rescore + correlation term in ONE C call per batch (the
             # per-hit Python loop was ~40% of end-to-end wall at the
@@ -806,8 +840,7 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                     and hasattr(nat, "vit_decode_rescore")):
                 with annotate("viterbi_fetch_wait"):
                     _t_f = _time.perf_counter()
-                    packed_np = np.ascontiguousarray(
-                        np.asarray(payload[0]))
+                    packed_np = _fetch_payload(entry_k, payload)
                     if _os.environ.get("HHSUITE_TPU_DEBUG_BATCH"):
                         print(f"[batch] n={len(idxs)} Bp="
                               f"{payload[0].shape[0]} kmax={payload[1]} "
@@ -873,7 +906,8 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                 continue
             if len(payload) == 2:
                 with annotate("viterbi_fetch_wait"):
-                    unpack = V.backtrace_walk_unpack8(*payload)
+                    unpack = V.backtrace_walk_unpack8(
+                        _fetch_payload(entry_k, payload), payload[1])
                 score, i2, j2 = unpack.score, unpack.i2, unpack.j2
             else:
                 unpack = None
