@@ -505,18 +505,46 @@ class PosteriorDecoder:
             kmax = Lq + Lt_pad + 2
             packed_d = mac_walk_packed8(b_mac, p_mm_d, i2_d, j2_d,
                                         score_d, kmax=kmax)
-            from ..ops import start_host_copy
-
-            start_host_copy(packed_d)
             pending.append((part, kmax, packed_d))
+
+        # payload coalescing: one device->host round-trip for ALL
+        # chunks (each fetch pays link latency; columns padded to the
+        # widest chunk — the unpack slices back to each chunk's width)
+        from ..ops import start_host_copy
+
+        big = None
+        spans = []
+        if len(pending) > 1:
+            import jax.numpy as jnp
+
+            Wmax = max(int(p.shape[1]) for _pt, _km, p in pending)
+            parts, r0 = [], 0
+            for _pt, _km, p in pending:
+                W = int(p.shape[1])
+                parts.append(p if W == Wmax
+                             else jnp.pad(p, ((0, 0), (0, Wmax - W))))
+                spans.append((r0, int(p.shape[0]), W))
+                r0 += int(p.shape[0])
+            big = jnp.concatenate(parts, axis=0)
+            start_host_copy(big)
+        elif pending:
+            start_host_copy(pending[0][2])
+        big_np = None
         stage_add("host_realign_assemble", _t.perf_counter() - _t0)
 
-        # Phase 2 — fetch + host-unpack; ONE device->host transfer per
-        # chunk
-        for part, kmax, packed_d in pending:
+        # Phase 2 — fetch + host-unpack
+        for ck, (part, kmax, packed_d) in enumerate(pending):
             _t0 = _t.perf_counter()
+            if big is not None:
+                if big_np is None:
+                    big_np = np.asarray(big)
+                r0, nrows, W = spans[ck]
+                payload = np.ascontiguousarray(
+                    big_np[r0: r0 + nrows, :W])
+            else:
+                payload = packed_d
             (score, i2, j2, n, mm_count, empty, st, ii,
-             jj, post) = mac_walk_unpack8(packed_d, kmax)
+             jj, post) = mac_walk_unpack8(payload, kmax)
             stage_add("posterior_fetch_wait", _t.perf_counter() - _t0)
             _t0 = _t.perf_counter()
 
