@@ -257,7 +257,17 @@ def sharded_lanes_scores(qp, qtr, tp, ttr, t_L, shift, ss_kw=None,
             fills=(0.0, -FLT_MAX, 0, 0),
             replicated_args=(qp, qtr, lut, qidx))
 
+    from ..ops.viterbi_lanes import viterbi_score_lanes_fused
+    from ..search.viterbi_search import _lanes_impl
+
+    impl = _lanes_impl()
+
     def fn(qp_, qtr_, tp_, ttr_, tl_):
+        if impl in ("fused", "exact"):
+            return viterbi_score_lanes_fused(
+                qp_, qtr_, tp_, ttr_, tl_, np.float32(shift),
+                si_mode="fast" if impl == "fused" else "exact",
+                interpret=interpret)
         return viterbi_score_lanes(qp_, qtr_, tp_, ttr_, tl_,
                                    np.float32(shift),
                                    interpret=interpret)

@@ -481,19 +481,41 @@ def _gathered_bt_lanes_kernel(qp, qtr, tp_all, ttr_all, tL_all, idx,
     return packed
 
 
-@functools.partial(
-    __import__("jax").jit, static_argnames=("interpret",))
-def _gathered_lanes_kernel(qp, qtr, tp_all, ttr_all, tL_all, idx, pnul,
-                           shift, interpret=False, ss_lut=None,
-                           ss_qidx=None, ss_tidx=None):
-    """On-device gather + null-model division + score-only lanes
-    sweep."""
-    from ..ops.viterbi_lanes import viterbi_score_lanes
+def _lanes_impl() -> str:
+    """Which score-sweep implementation the funnel uses (no-SS path):
+    ``"fused"`` (default) — `viterbi_score_lanes_fused(si_mode='fast')`,
+    Si computed in-kernel (never in HBM), quartic-corrected log2 with
+    |err| <= 0.000146 bit/cell, ~5x the split kernel's throughput;
+    ``"exact"`` — the fused kernel with the `_log2f4` cubic;
+    ``"split"`` — the einsum + bf16-Si-streaming kernel (pre-r5
+    behavior).  Override with HHSUITE_TPU_SI_MODE."""
+    import os
 
+    v = os.environ.get("HHSUITE_TPU_SI_MODE", "fused").strip().lower()
+    return v if v in ("fused", "exact", "split") else "fused"
+
+
+@functools.partial(
+    __import__("jax").jit, static_argnames=("interpret", "impl"))
+def _gathered_lanes_kernel(qp, qtr, tp_all, ttr_all, tL_all, idx, pnul,
+                           shift, interpret=False, impl="split",
+                           ss_lut=None, ss_qidx=None, ss_tidx=None):
+    """On-device gather + null-model division + score-only lanes
+    sweep.  ``impl`` selects the fused-Si kernel (no-SS path only —
+    the SS LUT gather still rides the split kernel)."""
+    from ..ops.viterbi_lanes import (viterbi_score_lanes,
+                                     viterbi_score_lanes_fused)
+
+    tp = tp_all[idx] / pnul[:, None, :]
+    if ss_lut is None and impl in ("fused", "exact"):
+        return viterbi_score_lanes_fused(
+            qp, qtr, tp, ttr_all[idx], tL_all[idx], shift,
+            si_mode="fast" if impl == "fused" else "exact",
+            interpret=interpret)
     kw = {}
     if ss_lut is not None:
         kw = dict(ss_lut=ss_lut, ss_qidx=ss_qidx, ss_tidx=ss_tidx)
-    return viterbi_score_lanes(qp, qtr, tp_all[idx] / pnul[:, None, :],
+    return viterbi_score_lanes(qp, qtr, tp,
                                ttr_all[idx], tL_all[idx], shift,
                                interpret=interpret, **kw)
 
@@ -1007,8 +1029,11 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
 
     def _lanes_scores(junk) -> np.ndarray:
         """Score-only sweep with the template-lanes kernel."""
-        from ..ops.viterbi_lanes import viterbi_score_lanes
+        from ..ops.viterbi_lanes import (viterbi_score_lanes,
+                                         viterbi_score_lanes_fused)
         from ..profiling import annotate
+
+        impl = _lanes_impl()
 
         interp = not _on_tpu()   # tests force the funnel on CPU
         scores = np.full(len(junk), -FLT_MAX, dtype=np.float32)
@@ -1078,7 +1103,16 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                     sc = _gathered_lanes_kernel(
                         qp_f, qtr_f, tp_all, ttr_all, tL_all, gidx,
                         _pnul_lanes(idxs, Bp),
-                        np.float32(par.shift), interpret=interp)
+                        np.float32(par.shift), interpret=interp,
+                        impl=impl)
+                elif not kw and impl in ("fused", "exact"):
+                    tp, ttr, t_L = pack_templates(batch, Lt_max, B=Bp,
+                                                  pooled=not interp)
+                    sc = viterbi_score_lanes_fused(
+                        qp_f, qtr_f, tp, ttr, t_L,
+                        np.float32(par.shift),
+                        si_mode="fast" if impl == "fused" else "exact",
+                        interpret=interp)
                 else:
                     tp, ttr, t_L = pack_templates(batch, Lt_max, B=Bp,
                                                   pooled=not interp)
