@@ -668,6 +668,22 @@ def viterbi_backtrace_lanes(qp, qtr, tp, ttr, t_L, shift, Lq_true=None,
     Si streams as FLOAT32 (not bf16): backtraced scores/paths are the
     reported alignments, so they carry exact kernel scores.
 
+    Round 5: on hardware, Si is FUSED into the kernel — each fori_loop
+    step runs an MXU dot of its U-row query panel against the column's
+    20-aa profile vector block, then the exact `_log2f4` epilogue, all
+    in registers.  Bit-identity is preserved: on TPU the in-kernel dot
+    and the old XLA einsum produce identical bits (both truncate
+    inputs to bf16 on the MXU — verified element-exact on hardware,
+    every einsum layout included), and the epilogue is the same cubic
+    in the same order.  This removes ~5 HBM passes of the O(B*Lq*Lt)
+    f32 Si tensor (einsum write, pad, transpose, kernel read), which
+    floored the kernel at ~14 GCUPS at the funnel's 8192-point shapes.
+    In INTERPRET mode (the CPU parity tier) the kernel keeps the
+    pre-r5 materialised-Si path: the CPU einsum computes the dot in
+    full f32 (no MXU truncation), and an in-kernel dot would round
+    differently — the parity tests' bit-identity contract with the
+    rows kernel decides which side fuses.
+
     Returns (score (B,) f32, best_i (B,) i32, best_j (B,) i32,
     btw (nB, Lt, P4, G, BK) int32) — btw packs the bt byte of cell
     (i, jj) for lane b = n*G*BK + g*BK + bk at
@@ -700,20 +716,29 @@ def viterbi_backtrace_lanes(qp, qtr, tp, ttr, t_L, shift, Lq_true=None,
             f"query too long for the single-panel backtrace-lanes "
             f"kernel (Lq={Lq}, G={G}); use viterbi_batch_rows")
 
-    # ---- Si (f32): the EXACT kernel's einsum expression at the exact
-    # kernel's shapes, then relaid out for the lanes grid.  Different
-    # einsum layouts can round the 20-term contraction differently
-    # (backend-dependent blocking), and this kernel's contract is
-    # bit-identity with ops.viterbi.viterbi_batch — the relayout costs
-    # ~2 extra HBM passes (~1 ms/batch), the rows-kernel alternative
-    # costs ~40 ms. ----
-    dot = jnp.einsum("ia,bja->bij", qp[1:Lq + 1].astype(f32),
-                     tp[:, 1:Lt + 1].astype(f32),
-                     preferred_element_type=f32)       # (B, Lq, Lt)
-    Si0 = _log2f4(dot) + f32(shift)
-    Si0 = jnp.pad(Si0, ((0, Bp - B), (0, P - Lq), (0, 0)))
-    Si = jnp.transpose(Si0.reshape(nB, G, BK, P, Lt),
-                       (0, 3, 4, 1, 2))                # (nB,P,Lt,G,BK)
+    fused = not interpret
+    if fused:
+        # ---- fused-Si operands: query row panel + per-column 20-aa
+        # profile blocks in lanes layout, pre-cast to bf16 (identical
+        # bits to the XLA einsum's MXU input truncation) ----
+        qp1 = jnp.pad(qp[1:Lq + 1].astype(f32),
+                      ((0, P - Lq), (0, 0))).astype(jnp.bfloat16)
+        tp1 = jnp.pad(tp[:, 1:Lt + 1].astype(f32),
+                      ((0, Bp - B), (0, 0), (0, 0)))
+        tpT = jnp.transpose(tp1.reshape(nB, G, BK, Lt, 20),
+                            (0, 3, 4, 1, 2)).astype(jnp.bfloat16)
+        sh = jnp.reshape(jnp.asarray(shift, f32), (1, 1))
+        Si = None
+    else:
+        # ---- interpret tier: the exact parity kernel's einsum at its
+        # exact shapes, relaid out for the lanes grid (pre-r5 path) ----
+        dot = jnp.einsum("ia,bja->bij", qp[1:Lq + 1].astype(f32),
+                         tp[:, 1:Lt + 1].astype(f32),
+                         preferred_element_type=f32)       # (B, Lq, Lt)
+        Si0 = _log2f4(dot) + f32(shift)
+        Si0 = jnp.pad(Si0, ((0, Bp - B), (0, P - Lq), (0, 0)))
+        Si = jnp.transpose(Si0.reshape(nB, G, BK, P, Lt),
+                           (0, 3, 4, 1, 2))                # (nB,P,Lt,G,BK)
 
     # ---- template transition lane vectors (as the score sweep) ----
     ttr_f = jnp.pad(ttr.astype(f32), ((0, Bp - B), (0, 0), (0, 0)),
@@ -738,9 +763,15 @@ def viterbi_backtrace_lanes(qp, qtr, tp, ttr, t_L, shift, Lq_true=None,
     STOPc, MMc, GDc, IMc, DGc, MIc = STOP_CODES = (0, 2, 3, 4, 5, 6)
     del STOP_CODES
 
-    def kernel(si_ref, tv_ref, qtr_ref,
-               sc_ref, bi_ref, bj_ref, btw_ref,
-               mm_c, gd_c, im_c, dg_c, mi_c, best_s):
+    def kernel(*args):
+        if fused:
+            (qp_ref, sh_ref, tpc_ref, tv_ref, qtr_ref,
+             sc_ref, bi_ref, bj_ref, btw_ref,
+             mm_c, gd_c, im_c, dg_c, mi_c, best_s) = args
+        else:
+            (si_ref, tv_ref, qtr_ref,
+             sc_ref, bi_ref, bj_ref, btw_ref,
+             mm_c, gd_c, im_c, dg_c, mi_c, best_s) = args
         j = pl.program_id(1)
         zero = jnp.zeros((G, BK), f32)
         ninf = jnp.full((G, BK), -FLT_MAX)
@@ -770,6 +801,22 @@ def viterbi_backtrace_lanes(qp, qtr, tp, ttr, t_L, shift, Lq_true=None,
             (mm_pn, dg_pn, mi_pn,            # NEW column, row i-1
              mm_po, gd_po, im_po, dg_po, mi_po,  # OLD column, row i-1
              best, besti, bestj) = carry
+            if fused:
+                # fused Si for this U-row block: MXU dot + exact log2
+                # epilogue, in registers (pad rows get Si = 0.0
+                # exactly, matching the materialised zero-padded Si)
+                qblk = qp_ref[pl.ds(k * U, U), :]
+                dotv = jax.lax.dot_general(
+                    qblk, tpc_ref[0, 0],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)      # (U, G, BK)
+                sil = _log2f4(dotv) + sh_ref[0, 0]
+                if P > Lq:
+                    rows = (k * U + jax.lax.broadcasted_iota(
+                        jnp.int32, (U, G, BK), 0))
+                    sil = jnp.where(rows < Lq, sil, 0.0)
+            else:
+                sil = si_ref[0, pl.ds(k * U, U), 0]
             word = jnp.zeros((G, BK), i32)
             for u in range(U):
                 ip = k * U + u               # panel row; cell row ip+1
@@ -805,7 +852,7 @@ def viterbi_backtrace_lanes(qp, qtr, tp, ttr, t_L, shift, Lq_true=None,
                 c_mi = (mi_po + qm2m1) + ti2m1
                 code = jnp.where(c_mi > best5, MIc, code)
                 best5 = jnp.maximum(best5, c_mi)
-                mm_new = best5 + si_ref[0, ip, 0]
+                mm_new = best5 + sil[u]
 
                 # DG/MI rows (row i-1, NEW column)
                 a_dg = mm_pn + qm2d1
@@ -884,15 +931,29 @@ def viterbi_backtrace_lanes(qp, qtr, tp, ttr, t_L, shift, Lq_true=None,
         pl.BlockSpec((1, G, BK), lambda b, j: (b, 0, 0)),
         pl.BlockSpec((1, 1, P4, G, BK), lambda b, j: (b, j, 0, 0, 0)),
     )
-    score, bi, bj, btw = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
+    if fused:
+        ins = [qp1, sh, tpT, tvec, qtr_s]
+        in_specs = [
+            pl.BlockSpec((P, 20), lambda b, j: (0, 0)),
+            pl.BlockSpec((1, 1), lambda b, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 20, G, BK), lambda b, j: (b, j, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 7, G, BK), lambda b, j: (b, j, 0, 0, 0)),
+            pl.BlockSpec((8, Lqp), lambda b, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ]
+    else:
+        ins = [Si, tvec, qtr_s]
+        in_specs = [
             pl.BlockSpec((1, P, 1, G, BK), lambda b, j: (b, 0, j, 0, 0)),
             pl.BlockSpec((1, 1, 7, G, BK), lambda b, j: (b, j, 0, 0, 0)),
             pl.BlockSpec((8, Lqp), lambda b, j: (0, 0),
                          memory_space=pltpu.SMEM),
-        ],
+        ]
+    score, bi, bj, btw = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
@@ -906,7 +967,7 @@ def viterbi_backtrace_lanes(qp, qtr, tp, ttr, t_L, shift, Lq_true=None,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(Si, tvec, qtr_s)
+    )(*ins)
 
     score = score.reshape(Bp)[:B]
     bi = bi.reshape(Bp)[:B]

@@ -496,6 +496,39 @@ def _lanes_impl() -> str:
 
 
 @functools.partial(
+    __import__("jax").jit, static_argnames=("kmaxes", "Wmax"))
+def _gathered_bt_lanes_multi(qp, qtr, parts, shift, Lq_true, kmaxes,
+                             Wmax):
+    """One dispatch for a whole junk's backtrace pass: every length
+    bucket's gather + fused BT lanes kernel + words walk + payload pad
+    runs inside a single jit call, returning one concatenated payload.
+
+    Each tunneled-TPU dispatch costs ~30-40 ms of NON-pipelined
+    round-trip latency (r5 measurement: 8 queued jit calls scale
+    linearly), so a 3-bucket junk paid ~3x that per early-stopping
+    block; here it pays once.  ``parts`` is a tuple of
+    (tp_all, ttr_all, tL_all, idx, pnul) per bucket; ``kmaxes`` the
+    matching static walk lengths; rows are emitted in parts order so
+    the caller's span table maps payload rows back to batches."""
+    import jax.numpy as jnp
+
+    from ..ops.viterbi_lanes import viterbi_backtrace_lanes
+
+    outs = []
+    for (tp_all, ttr_all, tL_all, idx, pnul), km in zip(parts, kmaxes):
+        tp = tp_all[idx] / pnul[:, None, :]
+        score, i2, j2, btw = viterbi_backtrace_lanes(
+            qp, qtr, tp, ttr_all[idx], tL_all[idx], shift,
+            Lq_true=Lq_true)
+        p = V.backtrace_walk_packed8_words(btw, i2, j2, score,
+                                           kmax=km, B=idx.shape[0])
+        W = 12 + km
+        outs.append(p if W == Wmax
+                    else jnp.pad(p, ((0, 0), (0, Wmax - W))))
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
+@functools.partial(
     __import__("jax").jit, static_argnames=("interpret", "impl"))
 def _gathered_lanes_kernel(qp, qtr, tp_all, ttr_all, tL_all, idx, pnul,
                            shift, interpret=False, impl="split",
@@ -550,14 +583,18 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
         S73 = S37 = S33 = None
 
     if _on_tpu():
-        # bigger backtrace-kernel batches amortize per-dispatch latency
-        # AND per-fetch link latency (~30 ms/round-trip on tunneled
-        # TPU); 1024 balances fetch count against per-batch HBM
-        # footprint (the bt matrix is O(B*Lq*Lt))
+        # bigger backtrace-kernel batches amortize per-DISPATCH latency
+        # (~30 ms of non-pipelined round-trip per jit call on the
+        # tunneled TPU — measured r5: 8 queued calls scale linearly at
+        # ~42 ms each while the pure compute is ~15 ms); 4096 lanes cut
+        # the 8192-point's backtrace pass from ~12 dispatches to ~4.
+        # Per-batch HBM stays modest now that Si is fused into the
+        # kernel (the btw word matrix is ~1 B/cell: 4096x512x832 =
+        # 1.7 GB worst case on a 16 GB chip)
         import os as _os
 
         batch_size = max(batch_size, int(_os.environ.get(
-            "HHSUITE_TPU_BT_BATCH", "1024")))
+            "HHSUITE_TPU_BT_BATCH", "4096")))
     smin = par.smin
     hits: List[Hit] = []
     # per-template accumulated exclusion paths
@@ -635,6 +672,7 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
 
         _t_p1 = _time.perf_counter()
         pending = []
+        hot = []          # deferred hot-path batches -> one dispatch
         if pack is not None:
             # resident-pack path: group by length bucket, batches are
             # on-device gathers (no per-batch template upload)
@@ -748,18 +786,15 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                     and ss_batch is None and bool(par.loc)
                     and Lq <= 512
                     and not _os.environ.get("HHSUITE_TPU_NO_BT_LANES")):
-                # hot path: template-lanes backtrace kernel + on-device
-                # words-layout walk in one fused dispatch (bit-exact
-                # paths vs the parity kernel, test_viterbi_lanes_bt.py)
-                from ..profiling import annotate
-
-                with annotate("viterbi_backtrace_pass"):
-                    packed_d = _gathered_bt_lanes_kernel(
-                        qp_use, qtr_use, tp_all, ttr_all, tL_all, gidx,
-                        _pnul_lanes(idxs, Bp), np.float32(par.shift),
-                        np.int32(q.L), Lq + Lt_max + 1, Bp)
+                # hot path: defer to ONE multi-bucket dispatch after
+                # the loop (fused BT lanes kernel + on-device words
+                # walk; bit-exact paths vs the parity kernel,
+                # test_viterbi_lanes_bt.py)
+                hot.append((len(pending), tp_all, ttr_all, tL_all,
+                            gidx, _pnul_lanes(idxs, Bp),
+                            Lq + Lt_max + 1))
                 pending.append((idxs, batch, ss_hmm_mode,
-                                (packed_d, Lq + Lt_max + 1)))
+                                (None, Lq + Lt_max + 1)))
                 continue
             if (bucket_lt is not None and excl_iv is not None
                     and ss_batch is None and bool(par.loc)):
@@ -809,18 +844,53 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                                 (np.asarray(score), np.asarray(i2),
                                  np.asarray(j2), np.asarray(bt))))
 
-        stage_add("host_vit_dispatch", _time.perf_counter() - _t_p1)
-        # ---- payload coalescing: the tunneled link charges a
-        # round-trip per device->host fetch (25-130 ms observed
-        # depending on link weather), so concatenate every batch's
-        # packed payload on DEVICE (columns padded to the junk's widest
-        # kmax — decode reads only the first n bytes per lane) and pay
-        # ONE fetch per junk instead of one per batch ----
         big = None
         big_np = None
         spans: Dict[int, Tuple[int, int, int]] = {}
+        if hot:
+            from ..profiling import annotate
+
+            with annotate("viterbi_backtrace_pass"):
+                if len(hot) == 1:
+                    k, tp_a, ttr_a, tL_a, gi, pn, km = hot[0]
+                    pd = _gathered_bt_lanes_kernel(
+                        qp_use, qtr_use, tp_a, ttr_a, tL_a, gi, pn,
+                        np.float32(par.shift), np.int32(q.L), km,
+                        gi.shape[0])
+                    pending[k] = pending[k][:3] + ((pd, km),)
+                else:
+                    Wmax = max(12 + km for *_x, km in hot)
+                    parts = tuple((tp_a, ttr_a, tL_a, gi, pn)
+                                  for _k, tp_a, ttr_a, tL_a, gi, pn, _km
+                                  in hot)
+                    kmaxes = tuple(km for *_x, km in hot)
+                    big = _gathered_bt_lanes_multi(
+                        qp_use, qtr_use, parts, np.float32(par.shift),
+                        np.int32(q.L), kmaxes, Wmax)
+                    start_host_copy(big)
+                    r0 = 0
+                    for (k, _tp, _ttr, _tL, gi, _pn, km) in hot:
+                        spans[k] = (r0, gi.shape[0], 12 + km)
+                        r0 += gi.shape[0]
+        stage_add("host_vit_dispatch", _time.perf_counter() - _t_p1)
+        # ---- fetch scheduling: r3 coalesced every batch's payload
+        # into one device concat to dodge a presumed per-fetch link
+        # round-trip; r5 measurement showed computed outputs are pushed
+        # to host asynchronously (fetches are ~free) while every
+        # DISPATCH costs ~30-40 ms of non-pipelined tunnel latency —
+        # so the pad+concat dispatches were a net LOSS.  Default is
+        # now a plain async copy per payload; HHSUITE_TPU_COALESCE=1
+        # restores the old device-side concat for link profiles where
+        # per-fetch latency does dominate.  Hot-path (multi-dispatch)
+        # entries carry a None placeholder payload and resolve through
+        # the span table instead. ----
         dev_entries = [(k, p[3][0], p[3][1]) for k, p in
-                       enumerate(pending) if len(p[3]) == 2]
+                       enumerate(pending)
+                       if len(p[3]) == 2 and p[3][0] is not None]
+        if not _os.environ.get("HHSUITE_TPU_COALESCE") or big is not None:
+            for _k, pd, _km in dev_entries:
+                start_host_copy(pd)
+            dev_entries = []
         if len(dev_entries) > 1:
             import jax.numpy as jnp
 
@@ -1037,7 +1107,10 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
 
         interp = not _on_tpu()   # tests force the funnel on CPU
         scores = np.full(len(junk), -FLT_MAX, dtype=np.float32)
-        SB = 2048                # one full lanes tile (G=16 x 128)
+        # 4 lanes tiles (G=16 x 128) per dispatch: the fused sweep is
+        # so fast (~300-550 GCUPS) that tunnel dispatch latency
+        # (~30 ms/call, non-pipelined) dominates at SB=2048
+        SB = 8192
         # Lq-bucketed kernel view (scores unaffected: padded rows
         # floor at ~-127+shift, below any real profile-pair score)
         qp_f, qtr_f = qp_use, qtr_use
