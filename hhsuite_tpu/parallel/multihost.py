@@ -25,11 +25,15 @@ worker.  Messages:
                     | ("error", name, message)
   master -> worker: ("work", [entry_indices]) | ("done",)
 
-("error", ...) contains a poison entry: the worker's per-entry
-try/except reports the failure instead of dying, the master marks the
-entry done-with-no-output (the writer warns), and the entry is NOT
-re-dealt — a deterministic crash would otherwise kill every worker in
-turn as the death-recovery path re-deals it across the fleet.
+("error", ...) contains a failed entry: the worker's per-entry
+try/except reports the failure instead of dying.  The master re-deals
+a failed entry ONCE (preferring a different worker, so transient
+failures — device OOM, TPU preemption, flaky reads — get a second
+chance on a healthy rank); a second failure poisons it: marked
+done-with-no-output and never dealt again, because a deterministic
+crash would otherwise cycle through the fleet forever via the
+death-recovery path.  Rank 0 still writes every entry that DID
+succeed, then raises — a batch with missing entries must not exit 0.
 """
 
 from __future__ import annotations
@@ -64,9 +68,20 @@ def _recv(conn: socket.socket):
     return pickle.loads(bytes(buf))
 
 
+def _default_grace() -> float:
+    """Worker-less retirement window, seconds.  150 s default; fleets
+    with slow container/TPU init (ADVICE r4) raise it via
+    HHSUITE_TPU_MH_GRACE without touching call sites."""
+    try:
+        return float(os.environ.get("HHSUITE_TPU_MH_GRACE", "150"))
+    except ValueError:
+        return 150.0
+
+
 def _master(addr: str, size: int, n_entries: int, chunk: int,
             results: Dict[str, Dict[str, bytes]],
-            order: Dict[str, int], grace: float = 150.0) -> None:
+            order: Dict[str, int], grace: Optional[float] = None,
+            max_attempts: int = 2) -> None:
     """MPQ_Master with failure recovery: deal index ranges on request,
     collect per-entry results until every entry is done.  Unlike the
     reference's MPQ (whose deal loop loses a crashed rank's range,
@@ -76,15 +91,23 @@ def _master(addr: str, size: int, n_entries: int, chunk: int,
     other workers still hold outstanding entries blocks until that
     work completes or is re-dealt.
 
+    An entry a worker REPORTS as failed is retried up to
+    ``max_attempts`` total attempts, each retry dealt to a different
+    worker whenever one is connected (transient failures recover;
+    deterministic crashes burn at most ``max_attempts`` workers, then
+    the entry is poisoned: done with no output).
+
     The accept loop is DYNAMIC — the master never blocks on a fixed
     worker count, so a rank that dies (or never starts) before
     connecting cannot hang the group; dealing starts with the first
     worker.  If no worker is connected and none (re)appears within
     ``grace`` seconds while entries are still outstanding, the master
-    retires with partial results (the writer then warns per missing
-    entry)."""
+    retires with partial results (run_multihost then writes what
+    succeeded and RAISES)."""
     import time as _time
 
+    if grace is None:
+        grace = _default_grace()
     host, port = addr.rsplit(":", 1)
     srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
     srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -95,10 +118,13 @@ def _master(addr: str, size: int, n_entries: int, chunk: int,
     cv = threading.Condition()
     next_idx = 0            # fresh-work pointer
     active = 0              # currently-connected workers
-    redeal: List[int] = []  # indices returned by dead workers
+    redeal: List[int] = []  # dead workers' indices + retryable failures
     done: set = set()       # indices with results received
+    attempts: Dict[int, int] = {}   # reported failures per entry
+    failed_by: Dict[int, set] = {}  # worker ids that failed the entry
+    wid_seq = [0]
 
-    def serve(conn):
+    def serve(conn, wid):
         nonlocal next_idx, active
         mine: set = set()
         try:
@@ -108,8 +134,17 @@ def _master(addr: str, size: int, n_entries: int, chunk: int,
                     with cv:
                         batch: List[int] = []
                         while True:
-                            while redeal and len(batch) < chunk:
-                                batch.append(redeal.pop(0))
+                            # retries prefer a DIFFERENT worker: skip
+                            # entries this worker failed while other
+                            # workers are connected to take them
+                            k = 0
+                            while k < len(redeal) and len(batch) < chunk:
+                                if (active > 1
+                                        and wid in failed_by.get(
+                                            redeal[k], ())):
+                                    k += 1
+                                    continue
+                                batch.append(redeal.pop(k))
                             while (next_idx < n_entries
                                    and len(batch) < chunk):
                                 batch.append(next_idx)
@@ -138,14 +173,21 @@ def _master(addr: str, size: int, n_entries: int, chunk: int,
                             done.add(idx)
                         cv.notify_all()
                 elif msg[0] == "error":
-                    # poison entry: done with NO output (writer warns);
-                    # never re-dealt
+                    # reported failure: retry (different worker when
+                    # possible) until max_attempts, then poison — done
+                    # with NO output (rank 0 raises at the end)
                     name = msg[1]
                     with cv:
                         idx = order.get(name)
                         if idx is not None:
                             mine.discard(idx)
-                            done.add(idx)
+                            n_att = attempts.get(idx, 0) + 1
+                            attempts[idx] = n_att
+                            failed_by.setdefault(idx, set()).add(wid)
+                            if n_att < max_attempts:
+                                redeal.append(idx)
+                            else:
+                                done.add(idx)
                         cv.notify_all()
         except (ConnectionError, OSError):
             pass   # worker died; its outstanding work is re-dealt below
@@ -180,8 +222,10 @@ def _master(addr: str, size: int, n_entries: int, chunk: int,
             break
         with cv:
             active += 1
+            wid_seq[0] += 1
         last_worker_evt = _time.monotonic()
-        t = threading.Thread(target=serve, args=(conn,), daemon=True)
+        t = threading.Thread(target=serve, args=(conn, wid_seq[0]),
+                             daemon=True)
         t.start()
         threads.append(t)
     srv.close()
@@ -223,12 +267,14 @@ def run_multihost(in_base: str, db_base: str, out_base: str, rank: int,
         order = {n: i for i, n in enumerate(names)}
         _master(addr, size, len(names), chunk, results, order)
         writers: Dict[str, FFindexWriter] = {}
+        missing: List[str] = []
         try:
             for name in names:          # input order, like the merge
                 outputs = results.get(name)
                 if outputs is None:
                     log(f"WARNING: no result for entry {name} "
-                        f"(worker died?)")
+                        f"(failed twice or every worker died)")
+                    missing.append(name)
                     continue
                 for kind, payload in outputs.items():
                     if kind not in writers:
@@ -241,6 +287,14 @@ def run_multihost(in_base: str, db_base: str, out_base: str, rank: int,
                 w.close()
         log(f"multihost {mode}: {len(results)}/{len(names)} entries "
             f"-> {out_base}_*")
+        if missing:
+            # partial output IS written (salvage), but the batch must
+            # not look like a success — reference MPI dies loudly on a
+            # failed rank, we fail loudly on failed entries
+            raise RuntimeError(
+                f"multihost {mode}: {len(missing)}/{len(names)} "
+                f"entries missing from {out_base}_* "
+                f"(first: {missing[:5]})")
         return
 
     # ---- worker rank ----

@@ -427,9 +427,15 @@ def main(argv: List[str]) -> int:
             print("hhblits_batch -rank R -size N -addr host:port -i "
                   "<queries> -d <db> -o <out>", file=sys.stderr)
             return 4
-        run_multihost(in_base, db_base, out_base, rank, mh_size,
-                      mh_addr, mode, par_overrides,
-                      jax_coordinator=jaxcoord)
+        try:
+            run_multihost(in_base, db_base, out_base, rank, mh_size,
+                          mh_addr, mode, par_overrides,
+                          jax_coordinator=jaxcoord)
+        except RuntimeError as e:
+            # partial output was written; exit nonzero so callers can't
+            # mistake it for success (ADVICE r4)
+            print(f"ERROR: {e}", file=sys.stderr)
+            return 1
         return 0
     if mode == "hhalign" and in_base and out_base:
         db_base = db_base or "-"          # hhalign needs no database

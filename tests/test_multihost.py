@@ -138,11 +138,13 @@ def test_multihost_master_redeals_work_of_dead_worker():
         assert set(results) == set(names)
 
 
-def test_multihost_poison_entry_not_redealt():
+def test_multihost_failed_entry_retried_once_then_poisoned():
     """An entry the worker REPORTS as failed (per-entry try/except in
-    the worker loop) is marked done-with-no-output and never re-dealt —
-    a deterministic crash must not cascade through the fleet via the
-    death-recovery path."""
+    the worker loop) is re-dealt exactly ONCE (transient failures —
+    device OOM, preemption — get a second chance), and a second failure
+    poisons it: done-with-no-output, never dealt again.  A
+    deterministic crash must not cascade through the fleet forever via
+    the retry path."""
     from hhsuite_tpu.parallel import multihost as mh
 
     names = [f"q{k}" for k in range(3)]
@@ -170,7 +172,7 @@ def test_multihost_poison_entry_not_redealt():
             break
         for idx in msg[1]:
             seen.append(idx)
-            if idx == 1:       # poison entry: report failure
+            if idx == 1:       # always-failing entry
                 mh._send(conn, ("error", names[idx], "boom"))
             else:
                 mh._send(conn, ("result", names[idx],
@@ -178,8 +180,115 @@ def test_multihost_poison_entry_not_redealt():
     conn.close()
     master.join(timeout=60)
     assert not master.is_alive()
-    assert seen == [0, 1, 2], f"poison entry re-dealt: {seen}"
+    assert sorted(seen) == [0, 1, 1, 2], \
+        f"failed entry must be dealt exactly twice: {seen}"
     assert set(results) == {"q0", "q2"}
+
+
+def test_multihost_transient_failure_retried_on_other_worker():
+    """A failed entry's retry goes to a DIFFERENT worker when one is
+    connected; if the entry succeeds there (transient failure), the
+    batch completes with every result present."""
+    from hhsuite_tpu.parallel import multihost as mh
+
+    names = [f"q{k}" for k in range(3)]
+    port = _free_port()
+    results, order = {}, {n: i for i, n in enumerate(names)}
+    master = threading.Thread(
+        target=mh._master, args=(f"127.0.0.1:{port}", 3, len(names), 1,
+                                 results, order), daemon=True)
+    master.start()
+    import time
+
+    def connect():
+        for _ in range(100):
+            try:
+                return socket.create_connection(("127.0.0.1", port),
+                                                timeout=30)
+            except OSError:
+                time.sleep(0.05)
+        raise ConnectionError("master never bound")
+
+    a, b = connect(), connect()
+    # worker A claims entry 0 and reports a (transient) failure
+    mh._send(a, ("next", 1))
+    msg = mh._recv(a)
+    assert msg == ("work", [0])
+    mh._send(a, ("error", names[0], "transient"))
+    # worker B drains everything; the retry of 0 must land on B
+    b_seen = []
+    while True:
+        mh._send(b, ("next", 2))
+        msg = mh._recv(b)
+        if msg[0] == "done":
+            break
+        for idx in msg[1]:
+            b_seen.append(idx)
+            mh._send(b, ("result", names[idx], {"hhr": b"ok"}))
+    # A asks again only after B finished -> gets done
+    mh._send(a, ("next", 1))
+    assert mh._recv(a)[0] == "done"
+    a.close()
+    b.close()
+    master.join(timeout=60)
+    assert not master.is_alive()
+    assert 0 in b_seen, f"retry did not go to the other worker: {b_seen}"
+    assert set(results) == set(names), "transient failure lost an entry"
+
+
+def test_multihost_rank0_raises_on_missing_entries(tmp_path):
+    """run_multihost writes what succeeded, then RAISES when any entry
+    is missing — a partial batch must not look like a success
+    (ADVICE r4: exit code 0 with silently missing entries)."""
+    from hhsuite_tpu.io.ffindex import FFindexDatabase, FFindexWriter
+    from hhsuite_tpu.parallel import multihost as mh
+
+    names = [f"q{k}" for k in range(3)]
+    with FFindexWriter(f"{tmp_path}/in.ffdata",
+                       f"{tmp_path}/in.ffindex") as w:
+        for n in names:
+            w.add(n, f">{n}\nACDEF\n".encode())
+    port = _free_port()
+    err: list = []
+
+    def rank0():
+        try:
+            mh.run_multihost(f"{tmp_path}/in", "-",
+                             f"{tmp_path}/out", 0, 2,
+                             f"127.0.0.1:{port}", log=lambda *a: None)
+        except RuntimeError as e:
+            err.append(e)
+
+    t = threading.Thread(target=rank0, daemon=True)
+    t.start()
+    import time
+
+    conn = None
+    for _ in range(100):
+        try:
+            conn = socket.create_connection(("127.0.0.1", port),
+                                            timeout=30)
+            break
+        except OSError:
+            time.sleep(0.05)
+    while True:
+        mh._send(conn, ("next", 1))
+        msg = mh._recv(conn)
+        if msg[0] == "done":
+            break
+        for idx in msg[1]:
+            if idx == 1:      # q1 fails on every attempt
+                mh._send(conn, ("error", names[idx], "boom"))
+            else:
+                mh._send(conn, ("result", names[idx], {"hhr": b"ok"}))
+    conn.close()
+    t.join(timeout=60)
+    assert not t.is_alive()
+    assert err and "1/3 entries missing" in str(err[0])
+    out = FFindexDatabase(f"{tmp_path}/out_hhr.ffdata",
+                          f"{tmp_path}/out_hhr.ffindex")
+    assert [e.name for e in out.entries] == ["q0", "q2"], \
+        "successful entries must still be written before the raise"
 
 
 def test_multihost_master_survives_rank_that_never_connects():
