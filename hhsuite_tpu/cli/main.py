@@ -576,12 +576,16 @@ def cmd_hhblits_batch(argv: List[str]) -> int:
 def cmd_ffindex_apply(argv: List[str]) -> int:
     """Run a command over every entry (lib/ffindex/src/
     ffindex_apply_mpi.c serial mode): entry data on stdin, stdout
-    captured into the output database."""
+    captured into the output database.  With ``-queue <shared dir>``,
+    any number of cooperating processes (across hosts on a shared
+    filesystem) split the entries via the atomic claim queue and one
+    of them writes the merged output — byte-identical to a serial run
+    (the reference's MPI lane, ffindex_apply_mpi.c:552)."""
     import subprocess
 
     from ..io.ffindex import FFindexDatabase, FFindexWriter
 
-    out_data = out_index = None
+    out_data = out_index = queue_dir = None
     rest = list(argv)
     if "-d" in rest:
         k = rest.index("-d")
@@ -591,16 +595,42 @@ def cmd_ffindex_apply(argv: List[str]) -> int:
         k = rest.index("-i")
         out_index = rest[k + 1]
         del rest[k: k + 2]
+    if "-queue" in rest:
+        k = rest.index("-queue")
+        queue_dir = rest[k + 1]
+        del rest[k: k + 2]
     if "--" in rest:
         k = rest.index("--")
         files, prog = rest[:k], rest[k + 1:]
     else:
         files, prog = rest[:2], rest[2:]
-    if len(files) < 2 or not prog:
+    if len(files) < 2 or not prog or (queue_dir and not (
+            out_data and out_index)):
         print("ffindex_apply <data> <index> [-d out.ffdata -i "
-              "out.ffindex] -- program [args]", file=sys.stderr)
+              "out.ffindex] [-queue <shared dir>] -- program [args]",
+              file=sys.stderr)
         return 4
     db = FFindexDatabase(files[0], files[1])
+    if queue_dir:
+        from ..tools.batch import queue_fanout
+
+        names = [e.name for e in db.entries]
+
+        def compute(name):
+            res = subprocess.run(prog, input=db.read_bytes(name),
+                                 capture_output=True)
+            return {"out": res.stdout}
+
+        def merge(pdir):
+            with FFindexWriter(out_data, out_index) as w:
+                for name in names:
+                    p = os.path.join(pdir,
+                                     name.replace("/", "_") + ".out")
+                    with open(p, "rb") as f:
+                        w.add(name, f.read())
+
+        queue_fanout(queue_dir, names, compute, merge)
+        return 0
     writer = (FFindexWriter(out_data, out_index)
               if out_data and out_index else None)
     for name, payload in db.items():

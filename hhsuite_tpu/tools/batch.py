@@ -81,6 +81,77 @@ def _claim_done(queue_dir: str, name: str) -> None:
         pass
 
 
+def queue_fanout(queue_dir: str, names: List[str], compute,
+                 merge, poll: float = 0.25, log=print) -> bool:
+    """Cross-host map/merge over a shared-filesystem claim queue.
+
+    TPU-native replacement for the reference's MPI database-build
+    fan-outs (lib/ffindex/src/ffindex_apply_mpi.c:552,
+    src/cs/cstranslate_mpi_app.h): any number of processes on any
+    number of hosts sharing ``queue_dir`` call this with the SAME
+    ``names`` list and a deterministic ``compute``; entries are dealt
+    by atomic claims at execution time (dynamic load balancing), each
+    winner writes the entry's payloads to
+    ``<queue_dir>/payload/<safe>.<kind>`` (tmp + rename, so readers
+    never see partial files), and exactly ONE process — the winner of
+    the ``__merge__`` claim, taken only after every entry is done —
+    runs ``merge(payload_dir)`` to assemble the final output in
+    canonical ``names`` order.  The call is a barrier: every process
+    returns only after the merge completed, and the output is
+    byte-identical to a single-process run regardless of fleet size.
+
+    Dead workers are recovered by the claim machinery's stale-steal
+    (HHSUITE_TPU_QUEUE_STALE_SEC); a dead MERGE winner is likewise
+    stolen and the merge re-run (merge must therefore be idempotent —
+    rewriting its outputs whole, which ffindex writers do).
+
+    ``compute(name) -> {kind: bytes}``; returns True if THIS process
+    ran the merge."""
+    import time
+
+    pdir = os.path.join(queue_dir, "payload")
+    os.makedirs(pdir, exist_ok=True)
+
+    def _safe(name: str) -> str:
+        return name.replace("/", "_")
+
+    pending = list(names)
+    while pending:
+        progressed = False
+        still = []
+        for name in pending:
+            if os.path.exists(_claim_path(queue_dir, name) + ".done"):
+                continue
+            if _claim(queue_dir, name):
+                payloads = compute(name)
+                for kind, data in payloads.items():
+                    dst = os.path.join(pdir, f"{_safe(name)}.{kind}")
+                    tmp = f"{dst}.tmp.{os.getpid()}"
+                    with open(tmp, "wb") as f:
+                        f.write(data)
+                    os.replace(tmp, dst)
+                _claim_done(queue_dir, name)
+                progressed = True
+            else:
+                still.append(name)
+        pending = still
+        if pending and not progressed:
+            time.sleep(poll)   # other workers hold live claims
+
+    # ---- merge barrier: exactly one process assembles the output ----
+    merged_here = False
+    while not os.path.exists(_claim_path(queue_dir, "__merge__")
+                             + ".done"):
+        if _claim(queue_dir, "__merge__"):
+            merge(pdir)
+            _claim_done(queue_dir, "__merge__")
+            merged_here = True
+        else:
+            time.sleep(poll)   # merge in progress elsewhere (or stale
+            #                    -> the claim steal above re-deals it)
+    return merged_here
+
+
 def _run_one(args):
     (name, text, db_base, par_dict, mode) = args
     # jobs share one dict object on the thread-pool/serial paths;

@@ -66,11 +66,19 @@ def _count_sequences(text: str) -> int:
 def build_hhsuite_db(out_base: str, a3m_files: Optional[List[str]] = None,
                      a3m_db_base: Optional[str] = None,
                      threads: int = 0, force: bool = False,
+                     queue_dir: Optional[str] = None,
                      log=print) -> None:
-    """Create <out_base>_{a3m,hhm,cs219}.ff{data,index}."""
+    """Create <out_base>_{a3m,hhm,cs219}.ff{data,index}.
+
+    With ``queue_dir`` (a shared-filesystem directory), any number of
+    cooperating ``hhsuitedb -queue <dir>`` processes — across hosts —
+    split the per-entry cs219/HHM work via the atomic claim queue and
+    produce byte-identical output to a single-process build (the
+    multi-host lane the reference covers with ffindex_apply_mpi +
+    cstranslate_mpi, lib/ffindex/src/ffindex_apply_mpi.c:552)."""
     from ..io.ffindex import FFindexDatabase, FFindexWriter
 
-    # ---- 1. a3m database ----
+    # ---- 1. input alignments (deterministic canonical order) ----
     a3m_base = out_base + "_a3m"
     if a3m_db_base:
         src = FFindexDatabase(a3m_db_base + ".ffdata",
@@ -95,15 +103,63 @@ def build_hhsuite_db(out_base: str, a3m_files: Optional[List[str]] = None,
         deduped.append((name, text))
     entries = deduped
 
-    with FFindexWriter(a3m_base + ".ffdata", a3m_base + ".ffindex") as w:
-        for name, text in entries:
-            w.add(name, text.encode())
-
     # ---- 2. which entries get HHM profiles ----
     nseqs = {name: _count_sequences(text) for name, text in entries}
     large = {name for name, n in nseqs.items() if n > 50}
     if entries and not large:
         large.add(entries[0][0])
+
+    cs_base = out_base + "_cs219"
+    hhm_base = out_base + "_hhm"
+
+    if queue_dir:
+        # ---- 3q. cross-host fan-out: claim entries, payload files,
+        # single-winner merge (byte-identical to the serial build) ----
+        from .batch import queue_fanout
+
+        texts = dict(entries)
+
+        def compute(name):
+            _n, cs, hhm = _entry_jobs((name, texts[name],
+                                       name in large))
+            out = {"cs219": cs}
+            if hhm is not None:
+                out["hhm"] = hhm.encode()
+            return out
+
+        def merge(pdir):
+            def _read(name, kind):
+                p = os.path.join(pdir,
+                                 name.replace("/", "_") + "." + kind)
+                with open(p, "rb") as f:
+                    return f.read()
+
+            with FFindexWriter(a3m_base + ".ffdata",
+                               a3m_base + ".ffindex") as w:
+                for name, text in entries:
+                    w.add(name, text.encode())
+            with FFindexWriter(cs_base + ".ffdata",
+                               cs_base + ".ffindex") as w:
+                for name, _t in entries:
+                    w.add(name, _read(name, "cs219"))
+            with FFindexWriter(hhm_base + ".ffdata",
+                               hhm_base + ".ffindex") as w:
+                for name, _t in entries:
+                    if name in large:
+                        w.add(name, _read(name, "hhm"))
+
+        merged_here = queue_fanout(queue_dir,
+                                   [n for n, _t in entries],
+                                   compute, merge, log=log)
+        cs = FFindexDatabase(cs_base + ".ffdata", cs_base + ".ffindex")
+        log(f"Built {out_base} (queue{' merge' if merged_here else ''}):"
+            f" {len(entries)} alignments, {len(large)} HHMs, "
+            f"{len(cs.names())} cs219 sequences")
+        return
+
+    with FFindexWriter(a3m_base + ".ffdata", a3m_base + ".ffindex") as w:
+        for name, text in entries:
+            w.add(name, text.encode())
 
     # ---- 3. per-entry cs219 + hhm (process pool) ----
     jobs = [(name, text, name in large) for name, text in entries]
@@ -116,8 +172,6 @@ def build_hhsuite_db(out_base: str, a3m_files: Optional[List[str]] = None,
     else:
         results = [_entry_jobs(j) for j in jobs]
 
-    cs_base = out_base + "_cs219"
-    hhm_base = out_base + "_hhm"
     with FFindexWriter(cs_base + ".ffdata", cs_base + ".ffindex") as w:
         for name, cs, _h in results:
             w.add(name, cs)
@@ -280,6 +334,7 @@ def main(argv: List[str]) -> int:
     a3m_db = None
     threads = 0
     force = False
+    queue_dir = None
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -295,18 +350,23 @@ def main(argv: List[str]) -> int:
         elif a == "--cpu":
             i += 1
             threads = int(argv[i])
+        elif a in ("-queue", "--queue"):
+            i += 1
+            queue_dir = argv[i]
         elif a == "--force":
             force = True
         i += 1
     if not out:
         print("hhsuitedb -o <db_base> [--ia3m '<glob>' | --ia3m_db <base>] "
-              "[--cpu N] [--force]", file=sys.stderr)
+              "[--cpu N] [-queue <shared dir>] [--force]",
+              file=sys.stderr)
         return 4
     if not ia3m and not a3m_db:
         # check/repair an existing database (scripts/hhsuitedb.py flow
         # when invoked without new input alignments)
         ok = check_database(out, threads, force)
         return 0 if ok or force else 1
-    build_hhsuite_db(out, ia3m or None, a3m_db, threads, force)
+    build_hhsuite_db(out, ia3m or None, a3m_db, threads, force,
+                     queue_dir=queue_dir)
     check_database(out, threads, force)
     return 0
