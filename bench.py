@@ -402,14 +402,32 @@ def _run_pairs_point(n_templates, base, query, baseline, label,
         par.num_rounds = 1
         return run_hhblits(par, query, get_database(base), "query.a3m")
 
+    tmr0 = enable_stage_timers()
     t0 = time.perf_counter()
     run()                       # warmup: compiles + parse caches
     first = time.perf_counter() - t0
+    disable_stage_timers()
+    # first-run composition (VERDICT r4 next #5): parse / upload are
+    # direct stage timers; compile cannot be isolated from compute
+    # inside the device stages, but on the first run the device stage
+    # groups are compile-dominated (steady-state compute is the
+    # device_s_stages of the timed runs below)
+    first_split = {
+        "parse_s": round(tmr0.get("host_template_parse", 0.0), 2),
+        "upload_s": round(tmr0.get("template_pack_upload", 0.0), 2),
+        "device_stages_incl_compile_s": round(sum(
+            tmr0.get(k, 0.0) for k in (
+                "prefilter_stage1_ungapped", "prefilter_stage2_gapped",
+                "viterbi_lanes_sweep", "viterbi_backtrace_pass",
+                "viterbi_backtrace_sharded", "viterbi_fetch_wait",
+                "posterior_mac_realign_batch")), 2),
+    }
     emit({
         "metric": f"first_run_wall_s_{label}",
         "value": round(first, 2),
         "unit": "s (compile+parse+upload)",
         "vs_baseline": 0.0,
+        "split": first_split,
     })
     run()
     best = 1e30
@@ -441,6 +459,10 @@ def _run_pairs_point(n_templates, base, query, baseline, label,
     stages = {g: round(sum(timers.get(k, 0.0) for k in keys), 3)
               for g, keys in groups.items()}
     device_s = sum(stages.values())
+    # informational host-side timers (may overlap each other or nest
+    # inside device spans — NOT summed into the decomposition)
+    host_stages = {k: round(v, 3) for k, v in sorted(timers.items())
+                   if k.startswith("host_")}
     pairs = n_templates / best
     return {
         "metric": f"hhblits_pairs_per_s{'' if label == '512' else '_' + label}",
@@ -452,6 +474,7 @@ def _run_pairs_point(n_templates, base, query, baseline, label,
         "device_stage_s": round(device_s, 3),
         "host_s": round(best - device_s, 3),
         "device_s_stages": stages,
+        "host_s_stages": host_stages,
     }
 
 

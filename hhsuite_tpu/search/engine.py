@@ -297,11 +297,16 @@ def get_resident_pack(db, names: List[str], par: Parameters,
         pack = packs[key] = ResidentTemplatePack()
     items = []
     budget = float(os.environ.get("HHSUITE_TPU_PACK_HBM_GB", "8"))
+    import time as _time
+
+    from ..profiling import stage_add
+    _t0 = _time.perf_counter()
     for name in names:
         if name not in pack.row_of:
             t, _fmt = db._prepared_cache_entry(name, par, mats,
                                                use_global_weights)
             items.append((name, t))
+    stage_add("host_template_parse", _time.perf_counter() - _t0)
     # HBM budget: on very large databases (hundreds of thousands of
     # templates) a fully-resident pack would exceed device memory;
     # past the budget the funnel falls back to per-batch host packing
