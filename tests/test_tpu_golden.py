@@ -47,21 +47,50 @@ def test_golden_search_on_real_tpu():
 
 def test_comparators_accept_reference_goldens():
     """The TPU comparison rules must accept the reference's own output
-    (self-comparison) and reject structural corruption."""
-    from hhsuite_tpu.tools.tpu_check import (_hhr_summary_compare,
+    (self-comparison), tolerate ONLY the measured bf16-dot failure
+    mode (<=2-cell coordinate drift, capped at 4 rows — ADVICE r4
+    restricted the tolerance to coordinate columns and capped the
+    pairs), and reject anything beyond it."""
+    from hhsuite_tpu.tools.tpu_check import (_MAX_PLATEAU_ROWS,
+                                             _hhr_summary_compare,
                                              _m8_compare)
 
     fix = os.path.join(os.path.dirname(__file__), "fixtures")
     with open(f"{fix}/golden_multi_search.blasttab") as f:
         m8 = f.read()
     assert _m8_compare(m8, m8) == []
-    # boundary drift of <=2 cells is tolerated (traceback-plateau flips
-    # on TPU); corruption beyond that must be rejected
-    corrupted = m8.replace("\t1\t431\t", "\t9\t431\t", 1)
-    assert _m8_compare(corrupted, m8) != []
+    # a 1-2 cell plateau flip is tolerated; >2 cells is rejected
     plateau = m8.replace("\t1\t431\t", "\t2\t431\t", 1)
     assert _m8_compare(plateau, m8) == []
+    corrupted = m8.replace("\t1\t431\t", "\t9\t431\t", 1)
+    assert _m8_compare(corrupted, m8) != []
+    # ... and the plateau exception is CAPPED: flipping a coordinate
+    # on more rows than the cap must fail as systematic drift
+    many = m8
+    lines = many.splitlines()
+    flipped = []
+    for ln in lines:
+        t = ln.split("\t")
+        if len(t) == 12 and len(flipped) <= _MAX_PLATEAU_ROWS:
+            t[6] = str(int(t[6]) + 1)
+            flipped.append(1)
+        ln2 = "\t".join(t)
+        many = many.replace(ln, ln2, 1)
+    assert _m8_compare(many, m8) != []
+    # stat columns keep a printed-precision window; big jumps fail
+    t = lines[0].split("\t")
+    t[11] = str(float(t[11]) + 0.1)
+    ok = "\n".join(["\t".join(t)] + lines[1:]) + "\n"
+    assert _m8_compare(ok, m8) == []
+    t[11] = str(float(t[11]) + 50.0)
+    bad = "\n".join(["\t".join(t)] + lines[1:]) + "\n"
+    assert _m8_compare(bad, m8) != []
 
     with open(f"{fix}/golden_multi_search.hhr") as f:
         hhr = f.read().split("\nNo 1\n")[0] + "\n"
     assert _hhr_summary_compare(hhr, hhr) == []
+    # a 1-cell coordinate flip is a tolerated plateau; big drift fails
+    drift = hhr.replace("1-431     1-431", "1-431     2-431", 1)
+    assert _hhr_summary_compare(drift, hhr) == []
+    big = hhr.replace("1-431     1-431", "1-431     9-431", 1)
+    assert _hhr_summary_compare(big, hhr) != []
