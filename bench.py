@@ -34,6 +34,10 @@ import numpy as np
 # time; cached programs load in <1 s on repeat runs
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       "/root/.cache/jax_comp")
+# cache sub-second client compiles too: on the tunneled TPU the
+# server-side Mosaic build at first execution is the expensive half,
+# and it is skipped only on a cache hit (see hhsuite_tpu/__init__.py)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 BASELINE_GCUPS = 10.0
 BASELINE_PAIRS_PER_S = 145.9      # reference hhblits, 512-template DB
