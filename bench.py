@@ -361,7 +361,15 @@ def timed(n_dev):
 
 t1 = timed(1)
 t8 = timed(8)
-print(json.dumps({"t1": t1, "t8": t8}))
+
+# large-shape point (VERDICT r4 next #7): 4x the batch, compute-
+# dominated, so partition overhead is fully amortized
+B = 65536
+db = rng.randint(0, NS, (B, Ld)).astype(np.int32)
+ln = np.full(B, Ld, np.int32)
+t1L = timed(1)
+t8L = timed(8)
+print(json.dumps({"t1": t1, "t8": t8, "t1L": t1L, "t8L": t8L}))
 """
     try:
         env = dict(os.environ)
@@ -384,6 +392,17 @@ print(json.dumps({"t1": t1, "t8": t8}))
             "value": round(eff, 4),
             "unit": "ratio_t1_over_t8",
             "vs_baseline": round(eff / 0.85, 4),
+        })
+        effL = d["t1L"] / max(d["t8L"], 1e-9)
+        emit({
+            "metric": "mesh_partition_ratio_8dev_virtual_large",
+            "value": round(effL, 4),
+            "unit": ("ratio_t1_over_t8 @ 65536x256 (UPPER-BOUNDED by "
+                     "host cores: the 1-device run already saturates "
+                     "both CPUs via XLA intra-op threads, so >1 here "
+                     "means partitioning is net-free at scale; real "
+                     "speedup needs real chips — see MULTICHIP dryrun)"),
+            "vs_baseline": round(effL, 4),
         })
     except Exception as e:
         emit({

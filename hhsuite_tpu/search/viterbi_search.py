@@ -934,8 +934,10 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                     _t_f = _time.perf_counter()
                     packed_np = _fetch_payload(entry_k, payload)
                     if _os.environ.get("HHSUITE_TPU_DEBUG_BATCH"):
-                        print(f"[batch] n={len(idxs)} Bp="
-                              f"{payload[0].shape[0]} kmax={payload[1]} "
+                        bp = ("multi" if payload[0] is None
+                              else payload[0].shape[0])
+                        print(f"[batch] n={len(idxs)} Bp={bp} "
+                              f"kmax={payload[1]} "
                               f"fetch={_time.perf_counter() - _t_f:.3f}s",
                               flush=True)
                 _t_hb = _time.perf_counter()
