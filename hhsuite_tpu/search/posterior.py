@@ -249,6 +249,29 @@ def prepare_query_transitions(q: HMM):
     q.tr[q.L, D2M] = 1.0
 
 
+@__import__("functools").partial(
+    __import__("jax").jit,
+    static_argnames=("kmax", "local", "use_spec"))
+def _realign_chunk_fused(qp, qtr, tp, ttr, mask_args, shift, mact,
+                         ss_f, ss0, t_Ls, kmax, local, use_spec):
+    """ONE device dispatch per realign chunk: interval->corridor mask
+    build + F/B/MAC + packed walk inside a single jit call.  Each
+    tunneled-TPU dispatch costs ~40 ms of non-pipelined link latency
+    (r5 measurement), so the former 3-dispatch chunk (mask, fb_mac,
+    walk) paid ~120 ms of pure latency per chunk — the realign stage
+    was dispatch-bound, not compute-bound."""
+    from ..ops.posterior_batch import (fb_mac_batch, mac_walk_packed8,
+                                       realign_mask_device)
+
+    co = (realign_mask_device(*mask_args) if use_spec
+          else mask_args[0])
+    score_d, b_mac, i2_d, j2_d, p_mm_d = fb_mac_batch(
+        qp, qtr, tp, ttr, co, shift, mact, ss_fpow2=ss_f,
+        ss0_fpow2=ss0, local=local, t_L=t_Ls)
+    return mac_walk_packed8(b_mac, p_mm_d, i2_d, j2_d, score_d,
+                            kmax=kmax)
+
+
 class PosteriorDecoder:
     """One realign() = forward + backward + MAC + backtrace."""
 
@@ -469,13 +492,13 @@ class PosteriorDecoder:
                         hiE_c[b, p, : s.Lt + 1] = hc
                         loE_r[b, p] = lr
                         hiE_r[b, p] = hr
-                from ..ops.posterior_batch import realign_mask_device
-
-                co = realign_mask_device(rect, corner, tLv,
-                                         loF_c, hiF_c, loF_r, hiF_r,
-                                         loE_c, hiE_c, loE_r, hiE_r)
+                # mask built ON DEVICE inside the fused chunk dispatch
+                mask_args = (rect, corner, tLv,
+                             loF_c, hiF_c, loF_r, hiF_r,
+                             loE_c, hiE_c, loE_r, hiE_r)
             else:
                 co = pool((B, Lq + 1, Lt_pad + 1), bool, True)
+                mask_args = None
             need_ss = any(h.ssm2 for h, _t, _c in part)
             if need_ss:
                 ss_f = pool((B, Lq + 1, Lt_pad + 1), np.float32, 1.0)
@@ -498,13 +521,13 @@ class PosteriorDecoder:
             t_Ls = np.array([t.L for _h, t, _c in part], np.int32)
             if len(t_Ls) < B:
                 t_Ls = np.pad(t_Ls, (0, B - len(t_Ls)))
-            score_d, b_mac, i2_d, j2_d, p_mm_d = fb_mac_batch(
-                qp, qtr, tp, ttr, co, np.float32(shift),
-                np.float32(mact), ss_fpow2=ss_f, ss0_fpow2=ss0,
-                local=self.local, t_L=t_Ls)
             kmax = Lq + Lt_pad + 2
-            packed_d = mac_walk_packed8(b_mac, p_mm_d, i2_d, j2_d,
-                                        score_d, kmax=kmax)
+            packed_d = _realign_chunk_fused(
+                qp, qtr, tp, ttr,
+                mask_args if mask_args is not None else (co,),
+                np.float32(shift), np.float32(mact), ss_f, ss0, t_Ls,
+                kmax=kmax, local=self.local,
+                use_spec=mask_args is not None)
             pending.append((part, kmax, packed_d))
 
         # payload coalescing: one device->host round-trip for ALL
