@@ -302,7 +302,10 @@ def run_multihost(in_base: str, db_base: str, out_base: str, rank: int,
 
     host, port = addr.rsplit(":", 1)
     conn = None
-    deadline = 120.0   # ranks start simultaneously; master may bind late
+    # ranks start near-simultaneously; the master may bind late.  The
+    # default window matches the master's worker-less grace so a slow
+    # fleet can raise both with one env var (HHSUITE_TPU_MH_GRACE)
+    deadline = max(120.0, _default_grace())
     import time
 
     t0 = time.monotonic()
