@@ -1099,8 +1099,12 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                         (i_steps.copy(), j_steps.copy()))
             stage_add("host_hitbuild", _time.perf_counter() - _t_hb)
 
-    def _lanes_scores(junk) -> np.ndarray:
-        """Score-only sweep with the template-lanes kernel."""
+    def _lanes_scores_dispatch(junk):
+        """Dispatch the score-only lanes sweep for one junk; returns
+        the pending (positions, n, device_scores) list WITHOUT
+        fetching, so callers can queue several junks' sweeps and
+        overlap their ~40 ms/dispatch link latency with other device
+        work (the sweep is independent of any keep decision)."""
         from ..ops.viterbi_lanes import (viterbi_score_lanes,
                                          viterbi_score_lanes_fused)
         from ..profiling import annotate
@@ -1108,7 +1112,6 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
         impl = _lanes_impl()
 
         interp = not _on_tpu()   # tests force the funnel on CPU
-        scores = np.full(len(junk), -FLT_MAX, dtype=np.float32)
         # 4 lanes tiles (G=16 x 128) per dispatch: the fused sweep is
         # so fast (~300-550 GCUPS) that tunnel dispatch latency
         # (~30 ms/call, non-pipelined) dominates at SB=2048
@@ -1196,11 +1199,21 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                                              interpret=interp, **kw)
             start_host_copy(sc)
             pending.append((positions, nb, sc))
+        return pending
+
+    def _lanes_scores_fetch(junk, pending) -> np.ndarray:
+        from ..profiling import annotate
+
+        scores = np.full(len(junk), -FLT_MAX, dtype=np.float32)
         with annotate("viterbi_lanes_sweep"):
             for positions, nidx, sc in pending:
                 scores[np.asarray(positions, dtype=np.int64)] = \
                     np.asarray(sc)[:nidx]
         return scores
+
+    def _lanes_scores(junk) -> np.ndarray:
+        """Score-only sweep with the template-lanes kernel."""
+        return _lanes_scores_fetch(junk, _lanes_scores_dispatch(junk))
 
     def _make_light_hit(tid: int, sc: float) -> Hit:
         t = tmpl_list[tid]
@@ -1243,14 +1256,35 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
         n_all = len(alive)
         block = 2000 if (alignment == 0 and par.early_stopping_filter) \
             else max(n_all, 1)
+        # pre-dispatch EVERY junk's score sweep on real hardware: the
+        # sweeps are independent of the keep decisions, so queueing
+        # them all up front overlaps their ~40 ms/dispatch link
+        # latency with the preceding junks' backtrace passes.  A
+        # mid-loop early-stop or funnel-degeneracy fallback merely
+        # wastes some queued score-only compute (cheap); semantics are
+        # unchanged — each junk's scores are identical to the lazy
+        # dispatch.  Kept lazy off-TPU (interpret-mode sweeps are the
+        # expensive part of the CPU funnel tests).
+        sweep_pre: Dict[int, Tuple[List[int], list]] = {}
+        if alignment == 0 and use_funnel and funnel_on and _on_tpu():
+            for js in range(0, n_all, block):
+                jk = alive[js: js + block]
+                jk.sort(key=lambda idx: -tmpl_list[idx].L)
+                sweep_pre[js] = (jk, _lanes_scores_dispatch(jk))
         for jstart in range(0, n_all, block):
-            junk = alive[jstart: jstart + block]
-            # sort by length desc within the block (reference sorts for
-            # thread utilization; here it makes padded batches tight)
-            junk.sort(key=lambda idx: -tmpl_list[idx].L)
+            if jstart in sweep_pre:
+                junk = sweep_pre[jstart][0]
+            else:
+                junk = alive[jstart: jstart + block]
+                # sort by length desc within the block (reference
+                # sorts for thread utilization; here it makes padded
+                # batches tight)
+                junk.sort(key=lambda idx: -tmpl_list[idx].L)
             junk_hit_start = len(hits)
             if alignment == 0 and use_funnel and funnel_on:
-                scores = _lanes_scores(junk)
+                scores = (_lanes_scores_fetch(*sweep_pre[jstart])
+                          if jstart in sweep_pre
+                          else _lanes_scores(junk))
                 funnel_scores.extend(scores.tolist())
                 allsc = np.asarray(funnel_scores, dtype=np.float32)
                 if len(allsc) > K_cap:
