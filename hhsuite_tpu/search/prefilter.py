@@ -94,11 +94,11 @@ def _resident_db(cache_key: str, seqs):
     return ent
 
 
-def _bucketed_resident(scores_fn, qc, ent, subset, n_total, *args):
-    """Run a kernel over the resident buckets (optionally a subset of
-    sequence indices, device-gathered) — dispatch all buckets first,
-    fetch after."""
-    out = np.zeros(n_total, dtype=np.int32)
+def _bucketed_resident_dispatch(scores_fn, qc, ent, subset, *args):
+    """Dispatch a kernel over the resident buckets (optionally a
+    subset of sequence indices, device-gathered) WITHOUT fetching, so
+    independent stages can queue behind each other and share one link
+    drain."""
     pending = []
     sub_set = None if subset is None else set(int(x) for x in subset)
     for bk in ent["buckets"]:
@@ -119,10 +119,23 @@ def _bucketed_resident(scores_fn, qc, ent, subset, n_total, *args):
             sc = scores_fn(qc, db_sub, ln_sub, *args)
             start_host_copy(sc)
             pending.append((take, len(rows), sc))
+    return pending
+
+
+def _bucketed_resident_fetch(pending, n_total):
+    out = np.zeros(n_total, dtype=np.int32)
     for idx, nrows, sc in pending:
         sc = np.asarray(sc)
         out[idx] = sc if nrows is None else sc[:nrows]
     return out
+
+
+def _bucketed_resident(scores_fn, qc, ent, subset, n_total, *args):
+    """Run a kernel over the resident buckets — dispatch all buckets
+    first, fetch after."""
+    return _bucketed_resident_fetch(
+        _bucketed_resident_dispatch(scores_fn, qc, ent, subset, *args),
+        n_total)
 
 
 def _bucketed(scores_fn, qc, seqs, *args):
@@ -194,11 +207,40 @@ def prefilter_db(par: Parameters, q_tmp: HMM, lib: ContextLibrary,
             stage1 = ungapped_scores_pallas
     except Exception:
         pass
+    # stage-2 kernel selection hoisted so the small-DB speculative
+    # dispatch below can use it
+    stage2 = ops.gapped_scores
+    try:
+        import jax
+        if jax.devices()[0].platform != "cpu" \
+                and par.prefilter_gap_extend > 0:
+            from ..ops.prefilter_pallas2 import gapped_scores_pallas
+            stage2 = gapped_scores_pallas
+    except Exception:
+        pass
+    gap_init = par.prefilter_gap_open + par.prefilter_gap_extend
+
+    spec2 = None
     with annotate("prefilter_stage1_ungapped"):
         if resident is not None:
-            raw1 = _bucketed_resident(
-                stage1, qc, resident, None, num_dbs,
+            pend1 = _bucketed_resident_dispatch(
+                stage1, qc, resident, None,
                 np.int32(par.prefilter_score_offset))
+            if num_dbs <= 16384:
+                # speculative gapped stage over the WHOLE db, queued
+                # behind stage 1 so both stages ride one link drain
+                # (the tunnel charges ~40 ms of non-pipelined latency
+                # per serialized round-trip).  Per-row scores are
+                # independent, so slicing the full result at the
+                # survivors is bit-identical to the gathered
+                # survivors-only dispatch; the wasted compute on
+                # non-survivors is bounded by the 16k-seq gate (~tens
+                # of ms), while big DBs keep the survivors-only gather
+                spec2 = _bucketed_resident_dispatch(
+                    stage2, qc, resident, None, np.int32(gap_init),
+                    np.int32(par.prefilter_gap_extend),
+                    np.int32(par.prefilter_score_offset))
+            raw1 = _bucketed_resident_fetch(pend1, num_dbs)
         else:
             raw1 = _bucketed(stage1, qc, seqs,
                              np.int32(par.prefilter_score_offset))
@@ -221,19 +263,12 @@ def prefilter_db(par: Parameters, q_tmp: HMM, lib: ContextLibrary,
                f"alignment)  : {len(survivors)}")
 
     # ---- stage 2: gapped SW (Pallas kernel on TPU: H/E state in
-    # VMEM + log-roll F fixpoint; lax.scan elsewhere) ----
-    stage2 = ops.gapped_scores
-    try:
-        import jax
-        if jax.devices()[0].platform != "cpu" \
-                and par.prefilter_gap_extend > 0:
-            from ..ops.prefilter_pallas2 import gapped_scores_pallas
-            stage2 = gapped_scores_pallas
-    except Exception:
-        pass
-    gap_init = par.prefilter_gap_open + par.prefilter_gap_extend
+    # VMEM + log-roll F fixpoint; lax.scan elsewhere; kernel selection
+    # hoisted above stage 1 for the speculative dispatch) ----
     with annotate("prefilter_stage2_gapped"):
-        if resident is not None:
+        if spec2 is not None:
+            raw2 = _bucketed_resident_fetch(spec2, num_dbs)[survivors]
+        elif resident is not None:
             raw2_all = _bucketed_resident(
                 stage2, qc, resident, survivors, num_dbs,
                 np.int32(gap_init),
