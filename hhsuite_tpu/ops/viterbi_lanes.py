@@ -644,7 +644,8 @@ def viterbi_score_lanes_fused(qp, qtr, tp, ttr, t_L, shift, unroll=8,
     __import__("jax").jit,
     static_argnames=("unroll", "lane_groups", "interpret"))
 def viterbi_backtrace_lanes(qp, qtr, tp, ttr, t_L, shift, Lq_true=None,
-                            unroll=8, lane_groups=8, interpret=False):
+                            unroll=None, lane_groups=None,
+                            interpret=False):
     """Full-backtrace Viterbi in the TEMPLATE-LANES layout (local mode,
     egq=egt=0, no cell-off, no SS — the funnel's hot backtrace pass).
 
@@ -704,14 +705,31 @@ def viterbi_backtrace_lanes(qp, qtr, tp, ttr, t_L, shift, Lq_true=None,
     i32 = jnp.int32
     NEG = f32(-FLT_MAX)
 
-    G, BK = lane_groups, 128
+    # ---- auto (G, U): the DP rows are serial, so instruction-level
+    # parallelism comes only from independent lane groups — (16, 128)
+    # f32 arrays issue as 2 interleaved vregs per op, ~1.7-1.9x the
+    # single-vreg G=8 rate (measured r5: 26.8 -> 48.6 GCUPS at
+    # 2048x320x384).  G=16 needs 5 f32 state columns of P rows in
+    # VMEM (5*4*P*16*128 bytes), which fits for P <= 340; longer
+    # queries fall back to G=8 (fits to P <= 682 > the funnel's 512
+    # cap).  Lane partitioning never changes per-cell float ops, so
+    # every (G, U) choice is bit-identical (micro-verified on chip).
+    BK = 128
+    U = 32 if unroll is None else unroll
+    if lane_groups is None:
+        P_try = _round_up(Lq, max(8, U))
+        fits16 = 5 * 4 * P_try * 16 * BK <= 14_000_000
+        # G=16 doubles the lane tile to 2048: padded cost is
+        # round_up(B, TILE) / rate with rate(16) ~ 1.8 * rate(8), so
+        # small batches can lose more to padding than ILP buys back
+        G = 16 if (fits16 and _round_up(B, 2048)
+                   < 1.8 * _round_up(B, 1024)) else 8
     TILE = G * BK
     Bp = _round_up(B, TILE)
     nB = Bp // TILE
-    U = unroll
     P = _round_up(Lq, max(8, U))      # single panel: whole query
     P4 = P // 4
-    if P * G * BK * 4 * 5 > 11_000_000:
+    if P * G * BK * 4 * 5 > 14_000_000:
         raise ValueError(
             f"query too long for the single-panel backtrace-lanes "
             f"kernel (Lq={Lq}, G={G}); use viterbi_batch_rows")
