@@ -90,3 +90,38 @@ def annotate(name: str):
         if timers is not None:
             timers[name] = (timers.get(name, 0.0)
                             + time.perf_counter() - t0)
+
+
+@contextlib.contextmanager
+def gc_paused():
+    """Pause the cyclic garbage collector for a search's hot loop.
+
+    A single 8192-template query allocates ~15k Hit objects plus their
+    numpy views; CPython's generational GC then fires mid-search and
+    showed up as 0.3-0.8 s spikes in host_hitbuild at the 8192 bench
+    point (r5 measurement; the reference is C++ and has no analogous
+    pause).  Allocation-rate-triggered collection is deferred until
+    the search returns; re-entrant and exception-safe, and a no-op if
+    the collector was already disabled by the caller.
+    """
+    import gc
+
+    was_enabled = gc.isenabled()
+    if was_enabled:
+        gc.disable()
+    try:
+        yield
+    finally:
+        if was_enabled:
+            gc.enable()
+
+
+def gc_paused_fn(fn):
+    """Decorator form of `gc_paused` for the search drivers."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with gc_paused():
+            return fn(*args, **kwargs)
+    return wrapper

@@ -20,6 +20,7 @@ from ..io.ffindex import FFindexDatabase
 from ..io.hhm import read_hhm
 from ..matrices import (SecStrucMatrices, SubstitutionMatrix,
                         get_ss_matrices, get_substitution_matrix)
+from ..profiling import gc_paused_fn
 from .posterior import (MACBacktraceResult, PosteriorDecoder,
                         build_realign_cell_off,
                         prepare_query_transitions,
@@ -693,6 +694,7 @@ def premerge_hits(par: Parameters, q_re: HMM, qali, hitlist: HitList,
         q_re.log2lin_transitions()
 
 
+@gc_paused_fn
 def run_hhalign(par: Parameters, query_text: str, template_texts:
                 List[Tuple[str, str]], query_name: str = "query"):
     """hhalign -i query -t templates (HHalign::run, hhalign.cpp:590-676).
@@ -784,6 +786,7 @@ def run_hhalign(par: Parameters, query_text: str, template_texts:
     return q, hitlist, qali
 
 
+@gc_paused_fn
 def run_hhsearch(par: Parameters, query_text: str, db: HHDatabase,
                  query_name: str = "query"):
     """hhsearch -i query -d db (single round, no prefilter)."""

@@ -19,6 +19,7 @@ from ..core.hit import Hit, HitList
 from ..core.hmm import HMM
 from ..cs.context_lib import ContextLibrary
 from ..matrices import get_ss_matrices, get_substitution_matrix
+from ..profiling import gc_paused_fn
 from .engine import HHDatabase, neutralize_tags, perform_realign
 from .prefilter import prefilter_db
 from .query import (finish_template_hmm, prepare_query_hmm,
@@ -89,6 +90,7 @@ def rescore_previous_hits(par: Parameters, q: HMM, db: HHDatabase,
             par.prefilter_evalue_thresh)
 
 
+@gc_paused_fn
 def run_hhblits(par: Parameters, query_text: str, db: HHDatabase,
                 query_name: str = "query",
                 lib: Optional[ContextLibrary] = None):
