@@ -460,6 +460,38 @@ def _gathered_rows_excl_kernel(qp, qtr, tp_all, ttr_all, tL_all, idx,
 
 
 @functools.partial(
+    __import__("jax").jit, static_argnames=("kmaxes", "Wmax"))
+def _gathered_rows_excl_multi(qp, qtr, parts, shift, Lq_true, kmaxes,
+                              Wmax):
+    """One dispatch for ALL of an altali pass's bucketed batches:
+    every bucket's exclusion-mask build + rows backtrace kernel +
+    packed walk runs inside a single jit call, returning one
+    concatenated payload (rows in parts order, columns padded to
+    Wmax).  Same motivation as `_gathered_bt_lanes_multi`: each
+    tunneled-TPU dispatch costs ~40 ms of non-pipelined round-trip
+    latency, and an altali pass over ~7k surviving lanes previously
+    paid it per length bucket.  ``parts`` is a tuple of
+    (tp_all, ttr_all, tL_all, idx, pnul, lo_c, hi_c, lo_r, hi_r)."""
+    import jax.numpy as jnp
+
+    from ..ops.viterbi_rows import viterbi_batch_rows
+
+    outs = []
+    for (tp_all, ttr_all, tL_all, idx, pnul, lo_c, hi_c, lo_r,
+         hi_r), km in zip(parts, kmaxes):
+        cell_off = V.exclusion_mask_device(lo_c, hi_c, lo_r, hi_r)
+        tp = tp_all[idx] / pnul[:, None, :]
+        score, i2, j2, bt = viterbi_batch_rows(
+            qp, qtr, tp, ttr_all[idx], cell_off, tL_all[idx], shift,
+            local=True, tb=32, Lq_true=Lq_true)
+        p = V._backtrace_walk_packed8(bt, i2, j2, score, kmax=km)
+        W = 12 + km
+        outs.append(p if W == Wmax
+                    else jnp.pad(p, ((0, 0), (0, Wmax - W))))
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
+@functools.partial(
     __import__("jax").jit, static_argnames=("kmax", "B", "interpret"))
 def _gathered_bt_lanes_kernel(qp, qtr, tp_all, ttr_all, tL_all, idx,
                               pnul, shift, Lq_true, kmax, B,
@@ -673,6 +705,7 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
         _t_p1 = _time.perf_counter()
         pending = []
         hot = []          # deferred hot-path batches -> one dispatch
+        hot_excl = []     # deferred altali batches -> one dispatch
         if pack is not None:
             # resident-pack path: group by length bucket, batches are
             # on-device gathers (no per-batch template upload)
@@ -798,18 +831,15 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                 continue
             if (bucket_lt is not None and excl_iv is not None
                     and ss_batch is None and bool(par.loc)):
-                # altali pass fused dispatch: mask build + rows kernel
-                # + packed walk in one jit call
-                from ..profiling import annotate
-
-                with annotate("viterbi_backtrace_pass"):
-                    packed_d = _gathered_rows_excl_kernel(
-                        qp_use, qtr_use, tp_all, ttr_all, tL_all, gidx,
-                        _pnul_lanes(idxs, Bp), *excl_iv,
-                        np.float32(par.shift), np.int32(q.L),
-                        Lq + Lt_max + 1, local=True, tb=32)
+                # altali pass: defer to ONE multi-bucket dispatch after
+                # the loop (mask build + rows kernel + packed walk for
+                # every bucket in a single jit call)
+                hot_excl.append((len(pending),
+                                 (tp_all, ttr_all, tL_all, gidx,
+                                  _pnul_lanes(idxs, Bp)) + excl_iv,
+                                 Lq + Lt_max + 1))
                 pending.append((idxs, batch, ss_hmm_mode,
-                                (packed_d, Lq + Lt_max + 1)))
+                                (None, Lq + Lt_max + 1)))
                 continue
             if bucket_lt is not None:
                 from ..profiling import annotate
@@ -844,9 +874,9 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                                 (np.asarray(score), np.asarray(i2),
                                  np.asarray(j2), np.asarray(bt))))
 
-        big = None
-        big_np = None
-        spans: Dict[int, Tuple[int, int, int]] = {}
+        bigs: Dict[str, object] = {}
+        bigs_np: Dict[str, np.ndarray] = {}
+        spans: Dict[int, Tuple[str, int, int, int]] = {}
         if hot:
             from ..profiling import annotate
 
@@ -864,14 +894,38 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                                   for _k, tp_a, ttr_a, tL_a, gi, pn, _km
                                   in hot)
                     kmaxes = tuple(km for *_x, km in hot)
-                    big = _gathered_bt_lanes_multi(
+                    bigs["hot"] = _gathered_bt_lanes_multi(
                         qp_use, qtr_use, parts, np.float32(par.shift),
                         np.int32(q.L), kmaxes, Wmax)
-                    start_host_copy(big)
+                    start_host_copy(bigs["hot"])
                     r0 = 0
                     for (k, _tp, _ttr, _tL, gi, _pn, km) in hot:
-                        spans[k] = (r0, gi.shape[0], 12 + km)
+                        spans[k] = ("hot", r0, gi.shape[0], 12 + km)
                         r0 += gi.shape[0]
+        if hot_excl:
+            from ..profiling import annotate
+
+            with annotate("viterbi_backtrace_pass"):
+                if len(hot_excl) == 1:
+                    k, args, km = hot_excl[0]
+                    pd = _gathered_rows_excl_kernel(
+                        qp_use, qtr_use, *args,
+                        np.float32(par.shift), np.int32(q.L),
+                        km, local=True, tb=32)
+                    pending[k] = pending[k][:3] + ((pd, km),)
+                else:
+                    Wmax = max(12 + km for _k, _a, km in hot_excl)
+                    parts = tuple(a for _k, a, _km in hot_excl)
+                    kmaxes = tuple(km for _k, _a, km in hot_excl)
+                    bigs["excl"] = _gathered_rows_excl_multi(
+                        qp_use, qtr_use, parts, np.float32(par.shift),
+                        np.int32(q.L), kmaxes, Wmax)
+                    start_host_copy(bigs["excl"])
+                    r0 = 0
+                    for (k, a, km) in hot_excl:
+                        nrows = a[3].shape[0]
+                        spans[k] = ("excl", r0, nrows, 12 + km)
+                        r0 += nrows
         stage_add("host_vit_dispatch", _time.perf_counter() - _t_p1)
         # ---- fetch scheduling: r3 coalesced every batch's payload
         # into one device concat to dodge a presumed per-fetch link
@@ -887,7 +941,7 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
         dev_entries = [(k, p[3][0], p[3][1]) for k, p in
                        enumerate(pending)
                        if len(p[3]) == 2 and p[3][0] is not None]
-        if not _os.environ.get("HHSUITE_TPU_COALESCE") or big is not None:
+        if not _os.environ.get("HHSUITE_TPU_COALESCE") or bigs:
             for _k, pd, _km in dev_entries:
                 start_host_copy(pd)
             dev_entries = []
@@ -900,20 +954,20 @@ def viterbi_search(par: Parameters, q: HMM, templates: List[Tuple[str, HMM]],
                 W = 12 + km
                 parts.append(pd if W == Wmax
                              else jnp.pad(pd, ((0, 0), (0, Wmax - W))))
-                spans[k] = (r0, pd.shape[0], W)
+                spans[k] = ("coal", r0, pd.shape[0], W)
                 r0 += pd.shape[0]
-            big = jnp.concatenate(parts, axis=0)
-            start_host_copy(big)
+            bigs["coal"] = jnp.concatenate(parts, axis=0)
+            start_host_copy(bigs["coal"])
         elif dev_entries:
             start_host_copy(dev_entries[0][1])
 
         def _fetch_payload(entry_k, payload):
-            nonlocal big_np
             if entry_k in spans:
-                if big_np is None:
-                    big_np = np.asarray(big)
-                r0, nrows, W = spans[entry_k]
-                return np.ascontiguousarray(big_np[r0: r0 + nrows, :W])
+                src, r0, nrows, W = spans[entry_k]
+                if src not in bigs_np:
+                    bigs_np[src] = np.asarray(bigs[src])
+                return np.ascontiguousarray(
+                    bigs_np[src][r0: r0 + nrows, :W])
             return np.ascontiguousarray(np.asarray(payload[0]))
 
         from ..native import load as _load_native
