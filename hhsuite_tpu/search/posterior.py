@@ -15,6 +15,7 @@ ops/ (used when output fidelity tolerances allow).
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
@@ -164,7 +165,7 @@ def build_realign_cell_off(q: HMM, t: HMM, hit: Hit, par_min_overlap: int,
 _BUF_POOL: dict = {}
 
 
-def pooled_buffer(shape, dtype, fill) -> np.ndarray:
+def pooled_buffer(shape, dtype, fill, slot=0) -> np.ndarray:
     """Reusable host staging buffer for device-batch inputs.
 
     Fresh pages on this class of host fault in at ~160 MB/s, so
@@ -173,7 +174,7 @@ def pooled_buffer(shape, dtype, fill) -> np.ndarray:
     safe when the JAX backend copies/serializes jit inputs at dispatch
     (remote/TPU backends do; the CPU backend may alias numpy memory
     zero-copy) — callers must gate on running on TPU."""
-    key = (tuple(shape), np.dtype(dtype).str)
+    key = (tuple(shape), np.dtype(dtype).str, slot)
     buf = _BUF_POOL.get(key)
     if buf is None:
         if len(_BUF_POOL) > 32:      # bound steady-state memory
@@ -270,6 +271,39 @@ def _realign_chunk_fused(qp, qtr, tp, ttr, mask_args, shift, mact,
         ss0_fpow2=ss0, local=local, t_L=t_Ls)
     return mac_walk_packed8(b_mac, p_mm_d, i2_d, j2_d, score_d,
                             kmax=kmax)
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("kmaxes", "local", "use_specs"))
+def _realign_chunks_multi(qp, qtr, parts, shift, mact, kmaxes, local,
+                          use_specs):
+    """ONE device dispatch for ALL chunks of a realign level: each
+    chunk's mask build + F/B/MAC + packed walk, rows concatenated
+    (columns padded to the widest chunk payload, 12 + 5*kmax bytes).
+    Same dispatch-latency motivation as `_realign_chunk_fused`; the
+    level's chunks are independent, so fusing them is semantics-free.
+    ``parts`` is a tuple of (tp, ttr, mask_args, ss_f, ss0, t_Ls)."""
+    import jax.numpy as jnp
+
+    from ..ops.posterior_batch import (fb_mac_batch, mac_walk_packed8,
+                                       realign_mask_device)
+
+    Wmax = max(12 + 5 * km for km in kmaxes)
+    outs = []
+    for (tp, ttr, mask_args, ss_f, ss0, t_Ls), km, use_spec in zip(
+            parts, kmaxes, use_specs):
+        co = (realign_mask_device(*mask_args) if use_spec
+              else mask_args[0])
+        score_d, b_mac, i2_d, j2_d, p_mm_d = fb_mac_batch(
+            qp, qtr, tp, ttr, co, shift, mact, ss_fpow2=ss_f,
+            ss0_fpow2=ss0, local=local, t_L=t_Ls)
+        p = mac_walk_packed8(b_mac, p_mm_d, i2_d, j2_d, score_d,
+                             kmax=km)
+        W = 12 + 5 * km
+        outs.append(p if W == Wmax
+                    else jnp.pad(p, ((0, 0), (0, Wmax - W))))
+    return jnp.concatenate(outs, axis=0)
 
 
 class PosteriorDecoder:
@@ -430,17 +464,19 @@ class PosteriorDecoder:
         # hit objects so processing order does not matter
         items = sorted(items, key=lambda it: -it[1].L)
 
-        # Phase 1 — dispatch every chunk; JAX queues the device work
-        # asynchronously, so chunk k+1's compute overlaps chunk k's
-        # device->host fetch in phase 2 (the remote-TPU link charges
-        # fixed latency per fetch, which would otherwise serialize
-        # with the compute)
+        # Phase 1 — assemble every chunk's host staging, then dispatch:
+        # a single fused multi-chunk jit call when there are several
+        # chunks (each tunneled dispatch costs ~40 ms of non-pipelined
+        # link latency), else the per-chunk fused call.  JAX queues the
+        # device work asynchronously either way, so the compute
+        # overlaps phase 2's device->host fetches.
         import time as _t
 
         from ..profiling import stage_add
         _t0 = _t.perf_counter()
         pending = []
-        for s in range(0, len(items), chunk):
+        staged = []
+        for ck, s in enumerate(range(0, len(items), chunk)):
             part = items[s: s + chunk]
             B = chunk if len(items) > chunk else len(part)
             # bucket shapes so the jit cache stays small; batches are
@@ -449,12 +485,15 @@ class PosteriorDecoder:
             Lt_pad = -(-max(Lt_max, 128) // 128) * 128
             # pooled staging buffers: the TPU backend serializes jit
             # inputs at dispatch, so the same host buffer can be
-            # refilled for the next chunk (tests forcing this path on
-            # the CPU backend get fresh buffers — CPU jax may alias)
+            # refilled for a later call — but chunks fused into ONE
+            # dispatch stay alive together, so each chunk gets its own
+            # pool slot (tests forcing this path on the CPU backend
+            # get fresh buffers — CPU jax may alias)
             from .viterbi_search import _on_tpu
 
-            pool = pooled_buffer if _on_tpu() else (
-                lambda sh, dt, fl: np.full(sh, fl, dt))
+            pool = (functools.partial(pooled_buffer, slot=ck)
+                    if _on_tpu() else
+                    (lambda sh, dt, fl: np.full(sh, fl, dt)))
             tp = pool((B, Lt_pad + 2, 20), np.float32, 0.0)
             ttr = pool((B, Lt_pad + 2, NTRANS), np.float32, 0.0)
             use_spec = isinstance(part[0][2], RealignMaskSpec)
@@ -522,12 +561,35 @@ class PosteriorDecoder:
             if len(t_Ls) < B:
                 t_Ls = np.pad(t_Ls, (0, B - len(t_Ls)))
             kmax = Lq + Lt_pad + 2
+            staged.append((part, kmax,
+                           (tp, ttr,
+                            mask_args if mask_args is not None
+                            else (co,),
+                            ss_f, ss0, t_Ls),
+                           mask_args is not None))
+        if len(staged) > 1:
+            # ONE dispatch for every chunk of this level: per-chunk
+            # mask build + F/B/MAC + walk fused across chunks, rows
+            # concatenated (padded to the widest payload)
+            packed_all = _realign_chunks_multi(
+                qp, qtr, tuple(a for _p, _km, a, _u in staged),
+                np.float32(shift), np.float32(mact),
+                kmaxes=tuple(km for _p, km, _a, _u in staged),
+                local=self.local,
+                use_specs=tuple(u for _p, _km, _a, u in staged))
+            r0 = 0
+            for part, kmax, args, _u in staged:
+                nrows = args[0].shape[0]
+                pending.append((part, kmax,
+                                (packed_all, r0, nrows)))
+                r0 += nrows
+        elif staged:
+            part, kmax, (tp, ttr, mask_args, ss_f, ss0,
+                         t_Ls), use_spec = staged[0]
             packed_d = _realign_chunk_fused(
-                qp, qtr, tp, ttr,
-                mask_args if mask_args is not None else (co,),
+                qp, qtr, tp, ttr, mask_args,
                 np.float32(shift), np.float32(mact), ss_f, ss0, t_Ls,
-                kmax=kmax, local=self.local,
-                use_spec=mask_args is not None)
+                kmax=kmax, local=self.local, use_spec=use_spec)
             pending.append((part, kmax, packed_d))
 
         # payload coalescing: one device->host round-trip for ALL
@@ -537,18 +599,12 @@ class PosteriorDecoder:
 
         big = None
         spans = []
-        if len(pending) > 1:
-            import jax.numpy as jnp
-
-            Wmax = max(int(p.shape[1]) for _pt, _km, p in pending)
-            parts, r0 = [], 0
-            for _pt, _km, p in pending:
-                W = int(p.shape[1])
-                parts.append(p if W == Wmax
-                             else jnp.pad(p, ((0, 0), (0, Wmax - W))))
-                spans.append((r0, int(p.shape[0]), W))
-                r0 += int(p.shape[0])
-            big = jnp.concatenate(parts, axis=0)
+        if pending and isinstance(pending[0][2], tuple):
+            # multi-chunk fused dispatch: payload entries are
+            # (packed_all, r0, nrows) views into ONE device array
+            big = pending[0][2][0]
+            spans = [(r0, nrows, 12 + 5 * km)
+                     for _pt, km, (_p, r0, nrows) in pending]
             start_host_copy(big)
         elif pending:
             start_host_copy(pending[0][2])
