@@ -113,27 +113,63 @@ def main():
                                  0.0, 0.0, **kw)
         Lq, Lt, B = 128, 128, 8
 
-    qp, qtr, tp, ttr, co, tL = _example_pair(Lq=Lq, Lt=Lt, B=B, seed=1)
-    dargs = [jax.device_put(a) for a in (qp, qtr, tp, ttr, tL)]
+    if on_tpu:
+        # ---- batch-marginal slope: time ONE dispatch at B_lo and one
+        # at B_hi and divide the extra cells by the extra time.  Both
+        # runs pay exactly one dispatch + one scalar fetch, so the
+        # ~40 ms link latency cancels, and the 6k-lane delta puts the
+        # signal (~8-15 ms) above link jitter.  (The previous
+        # chained-repetition slope resolved only ~0.5 ms/rep of signal
+        # against that jitter and overstated the sweep by up to 5x —
+        # r5 cross-check: absolute B-scaling, VPU op-count analysis
+        # and this marginal all agree at ~190-200 GCUPS.) ----
+        B_lo, B_hi = 2048, 8192
 
-    def fn_many(n):
-        @jax.jit
-        def f(a=dargs):
-            acc = jnp.float32(0)
-            for r in range(n):
-                s, i2, j2, bt = kern(a[0], a[1], a[2], a[3], None, a[4],
-                                     np.float32(-0.03 - 1e-6 * r),
-                                     local=True, need_bt=True)
-                acc = acc + s.sum() + bt[0, 0, 0].astype(jnp.float32)
-            return acc
-        return f
+        def one(Bn):
+            qp, qtr, tp, ttr, _co, tL = _example_pair(Lq=Lq, Lt=Lt,
+                                                      B=Bn, seed=1)
+            d = [jax.device_put(a) for a in (qp, qtr, tp, ttr, tL)]
 
-    n_lo, n_hi = (2, 10) if on_tpu else (1, 3)
-    t_lo = _chained(fn_many, n_lo)
-    t_hi = _chained(fn_many, n_hi)
-    t_kernel = max((t_hi - t_lo) / (n_hi - n_lo), 1e-9)
+            @jax.jit
+            def f():
+                s, *_r = kern(d[0], d[1], d[2], d[3], None, d[4],
+                              np.float32(-0.03), local=True,
+                              need_bt=True)
+                return s.sum()
 
-    cells = B * Lq * Lt
+            float(np.asarray(f()))          # compile + warm
+            best = 1e30
+            for _i in range(4):
+                t0 = time.perf_counter()
+                float(np.asarray(f()))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t_kernel = max(one(B_hi) - one(B_lo), 1e-9)
+        cells = (B_hi - B_lo) * Lq * Lt
+    else:
+        qp, qtr, tp, ttr, co, tL = _example_pair(Lq=Lq, Lt=Lt, B=B,
+                                                 seed=1)
+        dargs = [jax.device_put(a) for a in (qp, qtr, tp, ttr, tL)]
+
+        def fn_many(n):
+            @jax.jit
+            def f(a=dargs):
+                acc = jnp.float32(0)
+                for r in range(n):
+                    s, i2, j2, bt = kern(a[0], a[1], a[2], a[3], None,
+                                         a[4],
+                                         np.float32(-0.03 - 1e-6 * r),
+                                         local=True, need_bt=True)
+                    acc = acc + s.sum() + bt[0, 0, 0].astype(jnp.float32)
+                return acc
+            return f
+
+        t_lo = _chained(fn_many, 1)
+        t_hi = _chained(fn_many, 3)
+        t_kernel = max((t_hi - t_lo) / 2, 1e-9)
+        cells = B * Lq * Lt
+
     gcups = cells / t_kernel / 1e9
     emit({
         "metric": "viterbi_gcups_per_chip",
@@ -185,16 +221,33 @@ def bench_lanes_floor():
             return b
         return (best(f_hi) - best(f_lo)) / (hi - lo)
 
-    def make_sweep(n):
-        @jax.jit
-        def f(a=d, tL=tLd):
-            acc = jnp.float32(0)
-            for r in range(n):
-                acc = acc + viterbi_score_lanes_fused(
-                    a[0], a[1], a[2], a[3], tL,
-                    np.float32(-0.03 - 1e-6 * r), si_mode="fast").sum()
-            return acc
-        return f
+    def sweep_marginal():
+        # batch-marginal (see main(): the chained-rep slope under-
+        # resolved against link jitter); per-cell sweep time from one
+        # dispatch at 2048 lanes vs one at 8192
+        def one(Bn):
+            qp2, qtr2, tp2, ttr2, _c2, tL2 = _example_pair(
+                Lq=Lq, Lt=Lt, B=Bn, seed=1)
+            d2 = [jax.device_put(np.asarray(a, np.float32))
+                  for a in (qp2, qtr2, tp2, ttr2)]
+            tL2d = jax.device_put(tL2)
+
+            @jax.jit
+            def f():
+                return viterbi_score_lanes_fused(
+                    d2[0], d2[1], d2[2], d2[3], tL2d,
+                    np.float32(-0.03), si_mode="fast").sum()
+
+            float(np.asarray(f()))
+            b = 1e30
+            for _ in range(4):
+                t0 = time.perf_counter()
+                float(np.asarray(f()))
+                b = min(b, time.perf_counter() - t0)
+            return b
+
+        dt = max(one(8192) - one(2048), 1e-9)
+        return dt * B / (8192 - 2048)     # per-B-lane-batch seconds
 
     x = jax.device_put(np.zeros((cells // 128, 128), np.uint16))
 
@@ -207,7 +260,7 @@ def bench_lanes_floor():
             return y[0, 0]
         return f
 
-    t_k = max(chained_slope(make_sweep, 2, 6), 1e-9)
+    t_k = max(sweep_marginal(), 1e-9)
     t_pass = max(chained_slope(make_stream, 2, 10), 1e-9)
     bw = 2 * cells * 2 / t_pass              # read + write per pass
     t_floor = 4 * cells / bw
@@ -235,7 +288,9 @@ def bench_bt_pipeline():
     from hhsuite_tpu.ops import viterbi as V
     from hhsuite_tpu.ops.viterbi_lanes import viterbi_backtrace_lanes
 
-    Lq, Lt, B = 288, 320, 1024
+    # 2048 lanes: the funnel dispatches 4096-lane batches (r5), and
+    # >= 2048 engages the BT kernel's 2-vreg ILP tile (auto G=16)
+    Lq, Lt, B = 288, 320, 2048
     kmax = Lq + Lt + 1
     qp, qtr, tp, ttr, _co, tL = _example_pair(Lq=Lq, Lt=Lt, B=B, seed=1)
     d = [jax.device_put(np.asarray(a, np.float32))
